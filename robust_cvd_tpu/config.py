@@ -1,0 +1,255 @@
+"""Configuration — single source of truth for all pipeline parameters.
+
+Replaces the reference's dual config system (Python argparse in params.py
+mirroring C++ boost::program_options defaults pulled through pybind at
+import time — reference params.py:96-190 + lib/core/ParamsBase.h). Here
+there is one set of dataclasses; the CLI surface (dotted `--opt.*` names,
+defaults, choices) matches the reference so command lines carry over.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+
+from .utils.frame_range import FrameRange
+from .utils.frame_sampling import SamplePairsMode
+
+STATIC_LOSS_TYPES = ("Euclidean", "ReproDisparity", "ReproDepthRatio", "ReproLogDepth")
+SMOOTH_LOSS_TYPES = (
+    "EuclideanLaplacian",
+    "ReproDisparityLaplacian",
+    "ReproDepthRatioConsistency",
+    "ReproLogDepthConsistency",
+)
+INTR_OPT_MODES = ("Fixed", "Shared", "PerFrame")
+DYNAMIC_CONSTRAINT_MODES = ("None", "Mask", "Ransac")
+DIST_NAMES = ("l1", "l2", "smooth_l1", "cauchy", "general")
+
+
+@dataclass
+class PoseOptParams:
+    """Pose/deformation solver parameters.
+
+    Defaults match reference lib/PoseOptimizer.h:54-108. `max_iterations` /
+    `num_threads` are kept for CLI compatibility; the LM solver interprets
+    max_iterations as its outer-iteration cap and ignores num_threads
+    (a single fused TPU program replaces the 12-thread CPU solve).
+    """
+
+    max_iterations: int = 1000
+    num_threads: int = 12
+    num_steps: int = 4
+    robustness: float = 0.5
+
+    static_loss_type: str = "ReproDisparity"
+    static_spatial_weight: float = 1.0
+    static_depth_weight: float = 1.0
+
+    smooth_loss_type: str = "ReproDisparityLaplacian"
+    smooth_static_weight: float = 0.0
+    smooth_dynamic_weight: float = 0.0
+
+    position_regularization: float = 0.0
+    scale_regularization: float = 1.0
+    scale_regularization_grid_size: int = 10
+    deformation_regularization_initial: float = 1.0
+    deformation_regularization_final: float = 0.1
+    adaptive_deformation_cost: float = 0.0
+    spatial_deformation_regularization: float = 1.0
+    graduate_deformation_regularization: bool = False
+    focal_regularization: float = 1.0
+
+    coarse_to_fine: bool = True
+    ctf_long: int = 17
+    ctf_short: int = 10
+
+    deferred_spatial_opt: bool = False
+    dso_long: int = 4
+    dso_short: int = 3
+
+    # tan(fov/2) on the long image side; iPhone-7 default
+    # (reference lib/PoseOptimizer.h:92-94).
+    focal_long: float = 0.3461538376301239
+    intr_opt: str = "PerFrame"
+
+    fix_poses: bool = False
+    fix_depth_transforms: bool = False
+    fix_spatial_transforms: bool = False
+    normalize_depth_from_first_frame: bool = True
+
+    use_global_scale: bool = False
+    epipolar_dist_thresh: float = 2.0
+    dynamic_constraints: str = "Mask"
+
+    # LM solver knobs (new; no reference equivalent — Ceres internals).
+    lm_lambda_init: float = 1e-3
+    lm_max_outer: int = 50
+    lm_cg_iters: int = 64
+    lm_rtol: float = 1e-6
+
+
+@dataclass
+class LossParams:
+    """Fine-tuning loss weights (defaults: reference loss/loss_params.py)."""
+
+    distance_type_static: str = "l1"
+    distance_alpha: float = 1.0
+    distance_scale: float = 1.0
+    distance_type_smooth: str = "l1"
+    lambda_static_disparity: float = 0.0
+    lambda_static_depth_ratio: float = 100.0
+    lambda_static_reprojection: float = 1.0
+    lambda_scene_flow_static: float = 0.0
+    lambda_smooth_disparity: float = 0.0
+    lambda_smooth_depth_ratio: float = 0.0
+    lambda_smooth_reprojection: float = 0.0
+    lambda_parameter: float = 0.0
+    lambda_disparity_smooth: float = 0.0
+    sigma_color_grad: float = 1.0
+    lambda_contrast_thresh: float = 1.05
+    lambda_contrast_loss: float = 1.0
+
+
+@dataclass
+class FineTuneParams:
+    """Test-time fine-tuning (defaults: reference depth_fine_tuning.py:52-117)."""
+
+    optimizer: str = "Adam"
+    val_epoch_freq: int = -1
+    learning_rate: float = 0.0  # <= 0: use the model adapter's default
+    batch_size: int = 2
+    num_epochs: int = 10
+    pose_opt_freq: int = 1
+    log_dir: str = ""
+    display_freq: int = 100
+    print_freq: int = 1
+    save_epoch_freq: int = 1
+    save_eval_images: bool = False
+    save_depth_xform_maps: bool = False
+    save_checkpoints: bool = False
+    save_tensorboard: bool = True
+    tensorboard_log_path: str = ""
+    save_scene_flow_vis: bool = False
+    save_intermediate_depth_streams_freq: int = 0
+    save_depth_visualization: bool = False
+
+
+@dataclass
+class PipelineConfig:
+    """Top-level run config (reference params.py:29-264 CLI surface)."""
+
+    op: str = "all"  # all | extract_frames
+    path: str = ""
+    video_file: str = ""
+    recon: str = "i3d"
+    scaling: str = "depth"
+
+    # video stage
+    size: int = 384
+    short_side_target: bool = False
+    align: int = 32  # <= 0: use the model adapter's requirement
+
+    # flow stage
+    flow_ops: tuple = ("hierarchical2",)
+    min_mask_ratio: float = 0.2
+    vis_flow: bool = False
+    flow_model: str = "raft"
+
+    # model
+    model_type: str = "midas2"
+    frame_range: str = ""
+    exp_tag: str = "short"
+
+    # post filter
+    post_filter: bool = False
+    filter_radius: int = 4
+
+    save_static: bool = False
+    save_finetuning: bool = False
+    save_vis: bool = False
+
+    opt: PoseOptParams = field(default_factory=PoseOptParams)
+    loss: LossParams = field(default_factory=LossParams)
+    ft: FineTuneParams = field(default_factory=FineTuneParams)
+
+    def resolved_frame_range(self, num_frames: int) -> FrameRange:
+        return FrameRange(self.frame_range).resolve(num_frames)
+
+
+def _add_dataclass_args(parser, dc_type, prefix=""):
+    for f in dataclasses.fields(dc_type):
+        if dataclasses.is_dataclass(f.type) or f.name in ("opt", "loss", "ft"):
+            continue
+        name = f"--{prefix}{f.name}"
+        default = f.default if f.default is not dataclasses.MISSING else None
+        if default is None and f.default_factory is not dataclasses.MISSING:  # type: ignore
+            default = f.default_factory()  # type: ignore
+        if isinstance(default, bool):
+            parser.add_argument(name, type=_str2bool, default=default)
+        elif isinstance(default, tuple):
+            parser.add_argument(name, nargs="*", default=list(default))
+        elif isinstance(default, int):
+            parser.add_argument(name, type=int, default=default)
+        elif isinstance(default, float):
+            parser.add_argument(name, type=float, default=default)
+        else:
+            parser.add_argument(name, type=str, default=default)
+
+
+def _str2bool(v):
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="robust_cvd_tpu", description="TPU-native Robust Consistent Video Depth"
+    )
+    _add_dataclass_args(parser, PipelineConfig)
+    _add_dataclass_args(parser, PoseOptParams, prefix="opt.")
+    _add_dataclass_args(parser, LossParams, prefix="")
+    _add_dataclass_args(parser, FineTuneParams, prefix="")
+    return parser
+
+
+def parse_config(argv=None) -> PipelineConfig:
+    parser = build_parser()
+    ns = vars(parser.parse_args(argv))
+
+    def pick(dc_type, prefix=""):
+        kwargs = {}
+        for f in dataclasses.fields(dc_type):
+            key = f"{prefix}{f.name}"
+            if key in ns:
+                val = ns[key]
+                if isinstance(getattr(dc_type(), f.name, None), tuple) and isinstance(
+                    val, list
+                ):
+                    val = tuple(val)
+                kwargs[f.name] = val
+        return dc_type(**kwargs)
+
+    cfg = PipelineConfig(
+        **{
+            f.name: ns[f.name]
+            for f in dataclasses.fields(PipelineConfig)
+            if f.name in ns and f.name not in ("opt", "loss", "ft")
+        }
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        flow_ops=tuple(cfg.flow_ops),
+        opt=pick(PoseOptParams, "opt."),
+        loss=pick(LossParams),
+        ft=pick(FineTuneParams),
+    )
+    for mode in cfg.flow_ops:
+        SamplePairsMode(mode)  # validate
+    return cfg

@@ -1,0 +1,150 @@
+"""Differentiable projection geometry (pure JAX).
+
+Behavioral parity with reference utils/geometry.py (torch) under the same
+conventions: pixel (x, y) with top-left origin; camera looks down -Z; the v
+axis is flipped between pixels and camera space; principal point = intrinsics
+(cx, cy); intrinsics are (fx, fy, cx, cy) in pixels.
+
+Layout note: the reference uses channels-first (B, C, H, W); we use
+channels-LAST (..., H, W, C) throughout — the natural layout for TPU convs
+and vectorized math. All functions broadcast over arbitrary leading batch
+dims.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def pixel_grid(shape) -> jnp.ndarray:
+    """(H, W, 2) grid of pixel centers (x, y), x in [0, W-1], y in [0, H-1]."""
+    H, W = shape
+    x = jnp.arange(W, dtype=jnp.float32)
+    y = jnp.arange(H, dtype=jnp.float32)
+    X, Y = jnp.meshgrid(x, y)
+    return jnp.stack([X, Y], axis=-1)
+
+
+def pixels_to_rays(pixels: jnp.ndarray, intrinsics: jnp.ndarray) -> jnp.ndarray:
+    """Pixels (..., 2) + intrinsics (..., 4) -> rays (..., 3) with z = -1.
+
+    Matches reference utils/geometry.py:38-61: u = (x - cx)/fx, v = -(y - cy)/fy.
+    """
+    f = intrinsics[..., 0:2]
+    c = intrinsics[..., 2:4]
+    uv = (pixels - c) / f
+    u = uv[..., 0]
+    v = -uv[..., 1]
+    return jnp.stack([u, v, -jnp.ones_like(u)], axis=-1)
+
+
+def project(points: jnp.ndarray, intrinsics: jnp.ndarray) -> jnp.ndarray:
+    """Camera-space points (..., 3) -> pixels (..., 2).
+
+    Matches reference utils/geometry.py:64-83.
+    """
+    rays = points[..., :2] / -points[..., 2:3]
+    f = intrinsics[..., 0:2]
+    c = intrinsics[..., 2:4]
+    uv = rays * f
+    return jnp.stack([uv[..., 0] + c[..., 0], -uv[..., 1] + c[..., 1]], axis=-1)
+
+
+def pixels_to_points(
+    intrinsics: jnp.ndarray, depths: jnp.ndarray, pixels: jnp.ndarray
+) -> jnp.ndarray:
+    """Pixels (..., 2) + depth (...,) -> camera-space points (..., 3)."""
+    rays = pixels_to_rays(pixels, intrinsics)
+    return rays * depths[..., None]
+
+
+def points_cam_to_world(points: jnp.ndarray, extrinsics: jnp.ndarray) -> jnp.ndarray:
+    """Camera points (..., 3) with extrinsics (..., 3, 4) [R|t] -> world."""
+    R = extrinsics[..., :3]
+    t = extrinsics[..., 3]
+    return jnp.einsum("...ij,...j->...i", R, points) + t
+
+
+def world_to_points_cam(points: jnp.ndarray, extrinsics: jnp.ndarray) -> jnp.ndarray:
+    """World points (..., 3) with extrinsics (..., 3, 4) [R|t] -> camera."""
+    R = extrinsics[..., :3]
+    t = extrinsics[..., 3]
+    return jnp.einsum("...ji,...j->...i", R, points - t)
+
+
+def reproject_points(
+    points_cam_ref: jnp.ndarray,
+    extrinsics_ref: jnp.ndarray,
+    extrinsics_tgt: jnp.ndarray,
+) -> jnp.ndarray:
+    """Reference-camera points -> target-camera points (both (..., 3, 4))."""
+    world = points_cam_to_world(points_cam_ref, extrinsics_ref)
+    return world_to_points_cam(world, extrinsics_tgt)
+
+
+def depth_to_points(depths: jnp.ndarray, intrinsics: jnp.ndarray) -> jnp.ndarray:
+    """Depth maps (..., H, W) + intrinsics (..., 4) -> points (..., H, W, 3)."""
+    H, W = depths.shape[-2:]
+    pixels = pixel_grid((H, W))
+    return pixels_to_points(intrinsics[..., None, None, :], depths, pixels)
+
+
+def grid_sample(data: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample `data` (H, W, C) at pixel coords `uv` (..., 2).
+
+    Border padding: coordinates are clamped to the valid rectangle, matching
+    torch.nn.functional.grid_sample(..., padding_mode='border',
+    align_corners=True semantics through the reference's `sample` wrapper
+    (utils/geometry.py:238-245) which maps pixel coords to [-1, 1] by
+    dividing by (W-1, H-1).
+    """
+    H, W, _ = data.shape
+    x = jnp.clip(uv[..., 0], 0.0, W - 1.0)
+    y = jnp.clip(uv[..., 1], 0.0, H - 1.0)
+    x0 = jnp.clip(jnp.floor(x), 0, W - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 2).astype(jnp.int32)
+    rx = (x - x0)[..., None]
+    ry = (y - y0)[..., None]
+    g00 = data[y0, x0]
+    g01 = data[y0, x0 + 1]
+    g10 = data[y0 + 1, x0]
+    g11 = data[y0 + 1, x0 + 1]
+    top = g00 * (1 - rx) + g01 * rx
+    bot = g10 * (1 - rx) + g11 * rx
+    return top * (1 - ry) + bot * ry
+
+
+def warping_field(
+    extrinsics: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    depths: jnp.ndarray,
+    extrinsics_tgt: jnp.ndarray,
+    intrinsics_tgt: jnp.ndarray,
+) -> jnp.ndarray:
+    """Pixel coords in the target frame for every reference pixel.
+
+    depths (..., H, W); extrinsics (..., 3, 4); intrinsics (..., 4).
+    Returns (..., H, W, 2). Sampling the target frame at these coordinates
+    reconstructs the reference frame (reference utils/geometry.py:214-235).
+    """
+    points_cam = depth_to_points(depths, intrinsics)
+    points_tgt = reproject_points(
+        points_cam,
+        extrinsics[..., None, None, :, :],
+        extrinsics_tgt[..., None, None, :, :],
+    )
+    return project(points_tgt, intrinsics_tgt[..., None, None, :])
+
+
+def intrinsics_px(vfov: jnp.ndarray, hfov: jnp.ndarray, shape) -> jnp.ndarray:
+    """FOV angles -> pixel-unit (fx, fy, cx, cy), principal point at center.
+
+    Matches the conversion used when pulling intrinsics into the fine-tuning
+    loop (reference loaders/video_dataset.py update_poses).
+    """
+    H, W = shape
+    fx = W / 2.0 / jnp.tan(hfov / 2.0)
+    fy = H / 2.0 / jnp.tan(vfov / 2.0)
+    cx = jnp.full_like(fx, (W - 1) / 2.0)
+    cy = jnp.full_like(fy, (H - 1) / 2.0)
+    return jnp.stack([fx, fy, cx, cy], axis=-1)

@@ -1,0 +1,110 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robust_cvd_tpu import camera
+from robust_cvd_tpu.ops import geometry
+
+
+def random_quat(rng):
+    q = rng.standard_normal(4)
+    q /= np.linalg.norm(q)
+    if q[3] < 0:
+        q = -q
+    return jnp.asarray(q, jnp.float32)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_quat_matrix_roundtrip(seed):
+    q = random_quat(np.random.default_rng(seed))
+    m = camera.quat_to_matrix(q)
+    np.testing.assert_allclose(np.linalg.det(np.asarray(m)), 1.0, atol=1e-5)
+    q2 = camera.matrix_to_quat(m)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q), atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_axis_angle_roundtrip(seed):
+    rng = np.random.default_rng(seed)
+    aa = jnp.asarray(rng.standard_normal(3) * 0.7, jnp.float32)
+    m = camera.axis_angle_to_matrix(aa)
+    aa2 = camera.matrix_to_axis_angle(m)
+    np.testing.assert_allclose(np.asarray(aa2), np.asarray(aa), atol=2e-4)
+
+
+def test_axis_angle_zero_safe():
+    aa = jnp.zeros(3)
+    m = camera.axis_angle_to_matrix(aa)
+    np.testing.assert_allclose(np.asarray(m), np.eye(3), atol=1e-7)
+    # gradient must be finite at zero
+    g = jax.grad(lambda a: camera.rotate_point_axis_angle(a, jnp.ones(3)).sum())(aa)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_rotate_point_matches_matrix():
+    rng = np.random.default_rng(0)
+    aa = jnp.asarray(rng.standard_normal(3), jnp.float32)
+    p = jnp.asarray(rng.standard_normal((4, 3)), jnp.float32)
+    want = np.asarray(p) @ np.asarray(camera.axis_angle_to_matrix(aa)).T
+    got = camera.rotate_point_axis_angle(aa, p)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_pose_param_roundtrip():
+    cam = camera.CameraState.default(3, aspect=16 / 9)
+    pose, focal = camera.camera_to_pose_params(cam)
+    assert pose.shape == (3, 6)
+    cam2 = camera.pose_params_to_camera(pose, focal, 16 / 9)
+    np.testing.assert_allclose(np.asarray(cam2.vfov), np.asarray(cam.vfov), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(cam2.quaternion), np.asarray(cam.quaternion), atol=1e-6
+    )
+
+
+def test_projection_roundtrip():
+    H, W = 12, 16
+    intr = geometry.intrinsics_px(jnp.array(0.8), jnp.array(1.0), (H, W))
+    pix = geometry.pixel_grid((H, W))
+    depth = jnp.full((H, W), 2.5)
+    pts = geometry.pixels_to_points(intr, depth, pix)
+    # camera faces -Z
+    assert np.all(np.asarray(pts[..., 2]) < 0)
+    back = geometry.project(pts, intr)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pix), atol=1e-4)
+
+
+def test_reproject_identity():
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.standard_normal((5, 3)), jnp.float32)
+    ext = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    out = geometry.reproject_points(pts, ext, ext)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(pts), atol=1e-6)
+
+
+def test_reproject_translation():
+    pts = jnp.array([[0.0, 0.0, -2.0]])
+    ext_ref = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    t = jnp.array([[1.0], [0.0], [0.0]])
+    ext_tgt = jnp.concatenate([jnp.eye(3), t], axis=1)
+    out = geometry.reproject_points(pts, ext_ref, ext_tgt)
+    np.testing.assert_allclose(np.asarray(out), [[-1.0, 0.0, -2.0]], atol=1e-6)
+
+
+def test_grid_sample_border_and_identity():
+    rng = np.random.default_rng(2)
+    data = jnp.asarray(rng.standard_normal((6, 8, 3)), jnp.float32)
+    pix = geometry.pixel_grid((6, 8))
+    out = geometry.grid_sample(data, pix)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(data), atol=1e-6)
+    # out-of-bounds clamps to border
+    far = jnp.array([[-5.0, -5.0], [100.0, 100.0]])
+    out2 = geometry.grid_sample(data, far)
+    np.testing.assert_allclose(np.asarray(out2[0]), np.asarray(data[0, 0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out2[1]), np.asarray(data[-1, -1]), atol=1e-6)
+
+
+def test_world_to_camera_matrix():
+    cam = camera.CameraState.default(1, aspect=1.0)
+    M = camera.world_to_camera_matrix(cam.position[0], cam.quaternion[0])
+    np.testing.assert_allclose(np.asarray(M), np.eye(4), atol=1e-6)

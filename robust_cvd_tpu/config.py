@@ -28,7 +28,7 @@ DYNAMIC_CONSTRAINT_MODES = ("None", "Mask", "Ransac")
 DIST_NAMES = ("l1", "l2", "smooth_l1", "cauchy", "general")
 
 
-@dataclass
+@dataclass(frozen=True)
 class PoseOptParams:
     """Pose/deformation solver parameters.
 
@@ -90,7 +90,7 @@ class PoseOptParams:
     lm_rtol: float = 1e-6
 
 
-@dataclass
+@dataclass(frozen=True)
 class LossParams:
     """Fine-tuning loss weights (defaults: reference loss/loss_params.py)."""
 
@@ -112,7 +112,7 @@ class LossParams:
     lambda_contrast_loss: float = 1.0
 
 
-@dataclass
+@dataclass(frozen=True)
 class FineTuneParams:
     """Test-time fine-tuning (defaults: reference depth_fine_tuning.py:52-117)."""
 
@@ -136,7 +136,7 @@ class FineTuneParams:
     save_depth_visualization: bool = False
 
 
-@dataclass
+@dataclass(frozen=True)
 class PipelineConfig:
     """Top-level run config (reference params.py:29-264 CLI surface)."""
 

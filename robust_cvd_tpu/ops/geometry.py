@@ -13,7 +13,10 @@ dims.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
 
 
 def pixel_grid(shape) -> jnp.ndarray:
@@ -62,14 +65,14 @@ def points_cam_to_world(points: jnp.ndarray, extrinsics: jnp.ndarray) -> jnp.nda
     """Camera points (..., 3) with extrinsics (..., 3, 4) [R|t] -> world."""
     R = extrinsics[..., :3]
     t = extrinsics[..., 3]
-    return jnp.einsum("...ij,...j->...i", R, points) + t
+    return jnp.einsum("...ij,...j->...i", R, points, precision=_HI) + t
 
 
 def world_to_points_cam(points: jnp.ndarray, extrinsics: jnp.ndarray) -> jnp.ndarray:
     """World points (..., 3) with extrinsics (..., 3, 4) [R|t] -> camera."""
     R = extrinsics[..., :3]
     t = extrinsics[..., 3]
-    return jnp.einsum("...ji,...j->...i", R, points - t)
+    return jnp.einsum("...ji,...j->...i", R, points - t, precision=_HI)
 
 
 def reproject_points(

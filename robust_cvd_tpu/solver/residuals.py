@@ -1,0 +1,371 @@
+"""Residual blocks for the joint pose/deformation solve (pure JAX).
+
+Mathematical parity with the reference Ceres cost functors
+(lib/PoseOptimizer.cpp:60-656), re-designed for TPU: instead of one Ceres
+residual block per sparse constraint (CPU autodiff through Jet types), all
+constraints are evaluated as one batched tensor program; Jacobians come from
+jvp/vjp through these functions inside the matrix-free LM solver (lm.py).
+
+Coordinate conventions (reference lib/PoseOptimizer.cpp:89-221):
+  - Observation locations are NDC in [-1, 1]^2 (y up).
+  - A camera-space point is (ndc_x + warp_x, ndc_y + warp_y, depth).
+  - cameraToWorld: dir = (x * fx, y * fy, -1) rotated by the pose angle-axis;
+    world = position + dir * depth, with fy = focal = tan(vFov/2),
+    fx = fy * aspect.
+  - worldToCamera: rotate (p - position) by the inverse rotation; depth = -z;
+    ndc = (x / depth / fx, y / depth / fy).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..camera import rotate_point_axis_angle
+from ..config import PoseOptParams
+from . import xforms
+from .xforms import GridSpec
+
+
+class SolverParams(NamedTuple):
+    """The optimized parameter pytree for one solver stage.
+
+    pose:         (N, 6)  [x, y, z, r1, r2, r3] position + angle-axis
+    focal:        (N,)    tan(vFov / 2) per frame
+    depth_grid:   (N, gz, gy, gx) multiplicative scale handles
+    spatial_grid: (N, sy, sx, 2)  NDC warp handles
+    """
+
+    pose: jnp.ndarray
+    focal: jnp.ndarray
+    depth_grid: jnp.ndarray
+    spatial_grid: jnp.ndarray
+
+
+class ConstraintData(NamedTuple):
+    """Flattened pair constraints (static inputs to a solve).
+
+    frame0/frame1: (M,) int32 frame indices
+    loc0/loc1:     (M, 2) NDC observation locations
+    depth0/depth1: (M,) source depths sampled at the observations
+    weight:        (M,) 1.0 for valid static constraints, 0.0 for padding /
+                   dynamic / invalid-depth ones (reference skips those at
+                   problem-build time, lib/PoseOptimizer.cpp:1177-1193)
+    """
+
+    frame0: jnp.ndarray
+    frame1: jnp.ndarray
+    loc0: jnp.ndarray
+    loc1: jnp.ndarray
+    depth0: jnp.ndarray
+    depth1: jnp.ndarray
+    weight: jnp.ndarray
+
+
+class TripletData(NamedTuple):
+    """Flattened triplet constraints for the scene-flow smoothness loss.
+
+    frame: (T,) int32 center-frame index (observations are frame-1, frame,
+    frame+1); loc: (T, 3, 2); depth: (T, 3); weight: (T,) static/dynamic
+    smoothness weight (already resolved per constraint), 0 for padding.
+    """
+
+    frame: jnp.ndarray
+    loc: jnp.ndarray
+    depth: jnp.ndarray
+    weight: jnp.ndarray
+
+
+class SceneConfig(NamedTuple):
+    """Static (compile-time) configuration of a solver stage."""
+
+    aspect: float
+    depth_spec: GridSpec
+    spatial_spec: GridSpec
+    static_loss_type: str = "ReproDisparity"
+    smooth_loss_type: str = "ReproDisparityLaplacian"
+    intr_opt: str = "PerFrame"
+    fixed_vfocal: float = 0.3461538376301239
+    static_spatial_weight: float = 1.0
+    static_depth_weight: float = 1.0
+
+
+_EPS = 1e-6
+
+
+def observation_to_camera(
+    params: SolverParams,
+    cfg: SceneConfig,
+    frame: jnp.ndarray,
+    loc: jnp.ndarray,
+    src_depth: jnp.ndarray,
+) -> jnp.ndarray:
+    """Batched obsToCamera (reference lib/PoseOptimizer.cpp:159-171).
+
+    frame (M,), loc (M, 2), src_depth (M,) -> camera points (M, 3).
+    """
+    didx, dw = xforms.grid_gather(cfg.depth_spec, loc, src_depth)
+    dgrid = params.depth_grid[frame].reshape(frame.shape[0], -1)
+    scale = jnp.sum(jnp.take_along_axis(dgrid, didx, axis=1) * dw, axis=1)
+    depth = src_depth * scale
+
+    sidx, sw = xforms.grid_gather(cfg.spatial_spec, loc)
+    sgrid = params.spatial_grid[frame].reshape(frame.shape[0], -1, 2)
+    warp = jnp.sum(
+        jnp.take_along_axis(sgrid, sidx[..., None].repeat(2, -1), axis=1)
+        * sw[..., None],
+        axis=1,
+    )
+    return jnp.stack(
+        [loc[:, 0] + warp[:, 0], loc[:, 1] + warp[:, 1], depth], axis=-1
+    )
+
+
+def _focal_xy(params: SolverParams, cfg: SceneConfig, frame: jnp.ndarray):
+    """Per-observation (fx, fy) with fy = vertical focal, fx = fy * aspect."""
+    if cfg.intr_opt == "Shared":
+        fy = jnp.broadcast_to(params.focal[0], frame.shape)
+    elif cfg.intr_opt == "PerFrame":
+        fy = params.focal[frame]
+    else:  # Fixed
+        fy = jnp.full(frame.shape, cfg.fixed_vfocal, jnp.float32)
+    return fy * cfg.aspect, fy
+
+
+def camera_to_world(point_cam, fx, fy, pose):
+    """Batched cameraToWorld (reference lib/PoseOptimizer.cpp:174-192)."""
+    dir_cam = jnp.stack(
+        [point_cam[:, 0] * fx, point_cam[:, 1] * fy, -jnp.ones_like(fx)], axis=-1
+    )
+    dir_world = jax.vmap(rotate_point_axis_angle)(pose[:, 3:6], dir_cam)
+    return pose[:, 0:3] + dir_world * point_cam[:, 2:3]
+
+
+def world_to_camera(point_world, fx, fy, pose):
+    """Batched worldToCamera (reference lib/PoseOptimizer.cpp:195-221)."""
+    rel = point_world - pose[:, 0:3]
+    point_cam = jax.vmap(rotate_point_axis_angle)(-pose[:, 3:6], rel)
+    depth = -point_cam[:, 2]
+    safe = jnp.where(jnp.abs(depth) > _EPS, depth, jnp.sign(depth) * _EPS + _EPS)
+    return jnp.stack(
+        [point_cam[:, 0] / safe / fx, point_cam[:, 1] / safe / fy, depth], axis=-1
+    )
+
+
+def static_scene_residuals(
+    params: SolverParams, cfg: SceneConfig, data: ConstraintData
+) -> jnp.ndarray:
+    """StaticSceneCost over all pair constraints -> (M, 3) raw residuals
+    (reference lib/PoseOptimizer.cpp:223-319). Weights NOT applied here —
+    the LM driver combines `data.weight` with IRLS robustification."""
+    fx0, fy0 = _focal_xy(params, cfg, data.frame0)
+    fx1, fy1 = _focal_xy(params, cfg, data.frame1)
+
+    p0 = observation_to_camera(params, cfg, data.frame0, data.loc0, data.depth0)
+    p1 = observation_to_camera(params, cfg, data.frame1, data.loc1, data.depth1)
+
+    pose0 = params.pose[data.frame0]
+    pose1 = params.pose[data.frame1]
+    world0 = camera_to_world(p0, fx0, fy0, pose0)
+
+    if cfg.static_loss_type == "Euclidean":
+        world1 = camera_to_world(p1, fx1, fy1, pose1)
+        return world1 - world0
+
+    p01 = world_to_camera(world0, fx1, fy1, pose1)
+    rx = (p01[:, 0] - p1[:, 0]) * cfg.static_spatial_weight
+    ry = (p01[:, 1] - p1[:, 1]) * cfg.static_spatial_weight
+
+    z01 = p01[:, 2]
+    z1 = p1[:, 2]
+    if cfg.static_loss_type == "ReproDisparity":
+        rz = (
+            1.0 / jnp.maximum(z01, _EPS) - 1.0 / jnp.maximum(z1, _EPS)
+        ) * cfg.static_depth_weight
+    elif cfg.static_loss_type == "ReproDepthRatio":
+        mx, mn = jnp.maximum(z01, z1), jnp.minimum(z01, z1)
+        rz = (mx / jnp.where(jnp.abs(mn) > _EPS, mn, _EPS) - 1.0) * cfg.static_depth_weight
+    elif cfg.static_loss_type == "ReproLogDepth":
+        mx, mn = jnp.maximum(z01, z1), jnp.minimum(z01, z1)
+        rz = jnp.log(jnp.maximum(mn / jnp.maximum(mx, _EPS), _EPS)) * cfg.static_depth_weight
+    else:
+        raise ValueError(cfg.static_loss_type)
+    return jnp.stack([rx, ry, rz], axis=-1)
+
+
+def smoothness_residuals(
+    params: SolverParams, cfg: SceneConfig, data: TripletData
+) -> jnp.ndarray:
+    """SceneFlowSmoothnessLoss over triplets -> (T, 3)
+    (reference lib/PoseOptimizer.cpp:321-423)."""
+    frames = [data.frame - 1, data.frame, data.frame + 1]
+    pts, fxs, fys = [], [], []
+    for k, f in enumerate(frames):
+        fx, fy = _focal_xy(params, cfg, f)
+        p = observation_to_camera(params, cfg, f, data.loc[:, k], data.depth[:, k])
+        pts.append(p)
+        fxs.append(fx)
+        fys.append(fy)
+
+    poses = [params.pose[f] for f in frames]
+    w0 = camera_to_world(pts[0], fxs[0], fys[0], poses[0])
+    w2 = camera_to_world(pts[2], fxs[2], fys[2], poses[2])
+
+    if cfg.smooth_loss_type == "EuclideanLaplacian":
+        w1 = camera_to_world(pts[1], fxs[1], fys[1], poses[1])
+        return w0 + w2 - 2.0 * w1
+
+    p01 = world_to_camera(w0, fxs[1], fys[1], poses[1])
+    p21 = world_to_camera(w2, fxs[1], fys[1], poses[1])
+    p1 = pts[1]
+    rx = (p01[:, 0] + p21[:, 0] - 2.0 * p1[:, 0]) / fys[1]
+    ry = (p01[:, 1] + p21[:, 1] - 2.0 * p1[:, 1]) / fys[1]
+
+    if cfg.smooth_loss_type == "ReproDisparityLaplacian":
+        rz = (
+            1.0 / jnp.maximum(p01[:, 2], _EPS)
+            + 1.0 / jnp.maximum(p21[:, 2], _EPS)
+            - 2.0 / jnp.maximum(p1[:, 2], _EPS)
+        )
+    else:
+        base = p1[:, 2]
+        other = p01[:, 2] + p21[:, 2] - p1[:, 2]
+        mx, mn = jnp.maximum(base, other), jnp.minimum(base, other)
+        if cfg.smooth_loss_type == "ReproDepthRatioConsistency":
+            rz = mx / jnp.where(jnp.abs(mn) > _EPS, mn, _EPS) - 1.0
+        elif cfg.smooth_loss_type == "ReproLogDepthConsistency":
+            rz = jnp.log(jnp.maximum(mn / jnp.maximum(mx, _EPS), _EPS))
+        else:
+            raise ValueError(cfg.smooth_loss_type)
+    return jnp.stack([rx, ry, rz], axis=-1)
+
+
+def scale_reg_residuals(
+    params: SolverParams,
+    cfg: SceneConfig,
+    median_depth: jnp.ndarray,
+    grid_locs: jnp.ndarray,
+) -> jnp.ndarray:
+    """TargetDisparityCost on a per-frame grid of sample points -> (N, G)
+    (reference lib/PoseOptimizer.cpp:488-517, 1341-1415). Pins the
+    transformed median depth to disparity 1.0 — fixes the global scale.
+
+    median_depth: (N,) per-frame median SOURCE depth; grid_locs: (G, 2) NDC.
+    """
+    N = params.depth_grid.shape[0]
+    G = grid_locs.shape[0]
+    locs = jnp.broadcast_to(grid_locs[None], (N, G, 2))
+    med = jnp.broadcast_to(median_depth[:, None], (N, G))
+    didx, dw = xforms.grid_gather(cfg.depth_spec, locs, med)
+
+    def per_frame(grid_flat, idx, w):
+        return jnp.sum(grid_flat[idx] * w, axis=-1)
+
+    scale = jax.vmap(per_frame)(params.depth_grid.reshape(N, -1), didx, dw)
+    depth = med * scale
+    return 1.0 / jnp.maximum(depth, _EPS) - 1.0
+
+
+def position_reg_residuals(params: SolverParams) -> jnp.ndarray:
+    """Second-difference Laplacian over camera positions -> (N-2, 3)
+    (reference ParameterRegularizationCost over positions,
+    lib/PoseOptimizer.cpp:464-483, 1417-1447)."""
+    p = params.pose[:, 0:3]
+    return p[:-2] - 2.0 * p[1:-1] + p[2:]
+
+
+def focal_reg_residuals(params: SolverParams, cfg: SceneConfig) -> jnp.ndarray:
+    """(focal - target) per frame (reference TargetFocalCost,
+    lib/PoseOptimizer.cpp:520-533, 1524-1549)."""
+    return params.focal - cfg.fixed_vfocal
+
+
+class StageAux(NamedTuple):
+    """Dynamic (device-resident) inputs to one solver stage, passed through
+    jit as arguments — never baked into the executable as constants.
+
+    adaptive_weights: (N, E) per-edge deformation multipliers implementing
+    AdaptiveDeformationCost (reference lib/PoseOptimizer.cpp:559-656),
+    already combined as (base + max-neighbor-dynamic-fraction * adaptive);
+    None selects the uniform DeformationCost path.
+    """
+
+    data: ConstraintData
+    median_depth: jnp.ndarray
+    scale_grid_locs: jnp.ndarray
+    triplets: TripletData | None = None
+    adaptive_weights: jnp.ndarray | None = None
+
+
+def build_residual_fn(
+    cfg: SceneConfig,
+    opt: PoseOptParams,
+    depth_deform_weight: float,
+    use_triplets: bool = False,
+    use_adaptive: bool = False,
+):
+    """Assemble the full weighted residual vector function for one stage.
+
+    Returns `fn(params, irls_weight, aux: StageAux) -> flat residuals`, where
+    `irls_weight` (M,) carries the frozen per-constraint robustification
+    weights (sqrt of the Cauchy IRLS weight), recomputed between LM outer
+    iterations.
+    """
+
+    sqrt_scale_reg = float(np.sqrt(opt.scale_regularization)) if opt.scale_regularization > 0 else 0.0
+    sqrt_focal_reg = float(np.sqrt(opt.focal_regularization)) if opt.focal_regularization > 0 else 0.0
+    sqrt_pos_reg = float(np.sqrt(opt.position_regularization)) if opt.position_regularization > 0 else 0.0
+
+    def fn(params: SolverParams, irls_weight: jnp.ndarray, aux: StageAux) -> jnp.ndarray:
+        parts = []
+
+        r_static = static_scene_residuals(params, cfg, aux.data)
+        w = (aux.data.weight * irls_weight)[:, None]
+        parts.append((r_static * w).reshape(-1))
+
+        if use_triplets:
+            r_sm = smoothness_residuals(params, cfg, aux.triplets)
+            parts.append((r_sm * jnp.sqrt(aux.triplets.weight)[:, None]).reshape(-1))
+
+        if sqrt_scale_reg > 0.0 and not opt.fix_depth_transforms:
+            r_scale = scale_reg_residuals(
+                params, cfg, aux.median_depth, aux.scale_grid_locs
+            )
+            parts.append((r_scale * sqrt_scale_reg).reshape(-1))
+
+        if depth_deform_weight > 0.0:
+            r_def = xforms.depth_deform_residuals(params.depth_grid)
+            if use_adaptive:
+                r_def = r_def * aux.adaptive_weights
+            else:
+                r_def = r_def * depth_deform_weight
+            parts.append(r_def.reshape(-1))
+
+        if opt.spatial_deformation_regularization > 0.0:
+            r_sp = xforms.spatial_deform_residuals(params.spatial_grid)
+            parts.append((r_sp * opt.spatial_deformation_regularization).reshape(-1))
+
+        if sqrt_focal_reg > 0.0 and cfg.intr_opt != "Fixed":
+            parts.append(focal_reg_residuals(params, cfg) * sqrt_focal_reg)
+
+        if sqrt_pos_reg > 0.0:
+            parts.append((position_reg_residuals(params) * sqrt_pos_reg).reshape(-1))
+
+        return jnp.concatenate(parts)
+
+    return fn
+
+
+def cauchy_irls_weight(r_static: jnp.ndarray, robustness: float) -> jnp.ndarray:
+    """sqrt of the Cauchy IRLS weight per constraint.
+
+    Ceres CauchyLoss(a): rho(s) = a^2 log(1 + s / a^2) applied to the SQUARED
+    residual norm s (reference lib/PoseOptimizer.cpp:954-962 uses
+    CauchyLoss(params.robustness)); the IRLS weight is rho'(s) = 1/(1 + s/a^2).
+    """
+    a2 = robustness * robustness
+    s = jnp.sum(r_static * r_static, axis=-1)
+    return 1.0 / jnp.sqrt(1.0 + s / a2)

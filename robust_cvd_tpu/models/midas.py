@@ -1,0 +1,218 @@
+"""MiDaS-v2.1 monocular depth network in Flax (NHWC, TPU-native).
+
+Re-implementation of the reference's MiDaS stack
+(reference monodepth/midas_v2/midas_net.py:13-75, blocks.py:12-160,
+midas_v2_model.py:16-67): ResNeXt-101 32x8d backbone + RefineNet-style
+fusion decoder + disparity head.
+
+Differences from the reference (deliberate, TPU-first):
+  - channels-last NHWC layout (MXU/convolution native on TPU),
+  - grouped convolutions via feature_group_count,
+  - whole-clip batched inference: the adapter maps over (N, H, W, 3) frame
+    stacks in one jit instead of a per-frame DataLoader loop,
+  - BatchNorm runs with frozen (running) statistics by default; pass
+    train=True + mutable=['batch_stats'] to update them like the reference's
+    model.train() fine-tuning mode (depth_fine_tuning.py:413).
+
+Weights are ported from the reference checkpoint `midas_v21-f6b98070.pt`
+via models/torch_port.py when available.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import upsample2x
+
+# ImageNet normalization (reference midas_v2_model.py:41-42).
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+class Bottleneck(nn.Module):
+    """torchvision-style ResNeXt bottleneck (groups=32, width/group=8)."""
+
+    planes: int  # output channels = planes * 4
+    stride: int = 1
+    groups: int = 32
+    base_width: int = 8
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        out_ch = self.planes * 4
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+        )
+
+        identity = x
+        y = nn.Conv(width, (1, 1), use_bias=False, name="conv1")(x)
+        y = norm("bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            width,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)),
+            feature_group_count=self.groups,
+            use_bias=False,
+            name="conv2",
+        )(y)
+        y = norm("bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
+        y = norm("bn3")(y)
+
+        if self.downsample:
+            identity = nn.Conv(
+                out_ch,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                use_bias=False,
+                name="downsample_conv",
+            )(x)
+            identity = norm("downsample_bn")(identity)
+
+        return nn.relu(y + identity)
+
+
+class ResNeXt101Features(nn.Module):
+    """ResNeXt-101 32x8d backbone returning the four stage feature maps
+    (reference blocks.py:19-33 _make_resnet_backbone)."""
+
+    layers: Sequence[int] = (3, 4, 23, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            use_bias=False, name="conv1",
+        )(x)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
+        )(y)
+        y = nn.relu(y)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        feats = []
+        planes = (64, 128, 256, 512)
+        for stage, (blocks, p) in enumerate(zip(self.layers, planes)):
+            stride = 1 if stage == 0 else 2
+            for b in range(blocks):
+                y = Bottleneck(
+                    planes=p,
+                    stride=stride if b == 0 else 1,
+                    downsample=(b == 0),
+                    name=f"layer{stage + 1}_{b}",
+                )(y, train)
+            feats.append(y)
+        return feats  # channels: 256, 512, 1024, 2048; strides 4, 8, 16, 32
+
+
+class ResidualConvUnit(nn.Module):
+    """reference blocks.py:88-128."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.relu(x)
+        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), name="conv1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(y)
+        return y + x
+
+
+class FeatureFusionBlock(nn.Module):
+    """reference blocks.py:131-160: optional skip-add through an RCU, an RCU,
+    then 2x bilinear upsample with align_corners=True."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        out = x
+        if skip is not None:
+            out = out + ResidualConvUnit(self.features, name="resConfUnit1")(skip)
+        out = ResidualConvUnit(self.features, name="resConfUnit2")(out)
+        return upsample2x(out, align_corners=True)
+
+
+class MidasNet(nn.Module):
+    """Full MiDaS-v2 network: (B, H, W, 3) normalized RGB -> (B, H, W)
+    non-negative disparity (reference midas_net.py:47-75)."""
+
+    features: int = 256
+    non_negative: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        l1, l2, l3, l4 = ResNeXt101Features(name="pretrained")(x, train)
+
+        rn = lambda ch, name: nn.Conv(
+            self.features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, name=name
+        )
+        l1_rn = rn(256, "layer1_rn")(l1)
+        l2_rn = rn(512, "layer2_rn")(l2)
+        l3_rn = rn(1024, "layer3_rn")(l3)
+        l4_rn = rn(2048, "layer4_rn")(l4)
+
+        p4 = FeatureFusionBlock(self.features, name="refinenet4")(l4_rn)
+        p3 = FeatureFusionBlock(self.features, name="refinenet3")(p4, l3_rn)
+        p2 = FeatureFusionBlock(self.features, name="refinenet2")(p3, l2_rn)
+        p1 = FeatureFusionBlock(self.features, name="refinenet1")(p2, l1_rn)
+
+        y = nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)), name="output_conv1")(p1)
+        y = upsample2x(y, align_corners=False)
+        y = nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), name="output_conv2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(1, (1, 1), name="output_conv3")(y)
+        if self.non_negative:
+            y = nn.relu(y)
+        return y[..., 0]
+
+
+def normalize_images(images: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] RGB -> ImageNet-normalized (reference midas_v2_model.py:50-52)."""
+    mean = jnp.asarray(IMAGENET_MEAN, images.dtype)
+    std = jnp.asarray(IMAGENET_STD, images.dtype)
+    return (images - mean) / std
+
+
+def disparity_to_depth(disparity: jnp.ndarray, epsilon: float = 1e-7) -> jnp.ndarray:
+    """(reference midas_v2_model.py:60-62)."""
+    return 1.0 / (disparity + epsilon)
+
+
+class MidasV2Adapter:
+    """Model adapter: requirements + batched whole-clip inference
+    (reference monodepth/midas_v2_model.py class attrs + estimate_depth)."""
+
+    align = 32
+    learning_rate = 1e-6
+    lambda_view_baseline = 1e-4
+
+    def __init__(self, params=None, batch_stats=None):
+        self.net = MidasNet()
+        self.params = params
+        self.batch_stats = batch_stats
+
+    def init(self, rng, shape=(1, 384, 224, 3)):
+        variables = self.net.init(rng, jnp.zeros(shape, jnp.float32))
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats")
+        return self
+
+    def estimate_depth(self, images: jnp.ndarray, scales=None) -> jnp.ndarray:
+        """images: (B, H, W, 3) in [0,1] -> depth (B, H, W)."""
+        x = normalize_images(images)
+        disp = self.net.apply(
+            {"params": self.params, "batch_stats": self.batch_stats}, x
+        )
+        if scales is not None:
+            disp = disp / scales
+        return disparity_to_depth(disp)

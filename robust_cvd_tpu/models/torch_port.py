@@ -1,0 +1,116 @@
+"""Torch checkpoint -> Flax parameter conversion.
+
+Ports the reference's shipped weights into the Flax re-implementations:
+  - MiDaS-v2.1 `midas_v21-f6b98070.pt` (reference midas_v2_model.py:10-12)
+  - RAFT `raft-things.pth` (reference optical_flow_homography.py:245-258)
+
+Pure tensor-renaming/transposition — no torch model classes are needed, just
+the pickled state dicts. Conv kernels OIHW -> HWIO; BatchNorm running stats
+go to flax `batch_stats`.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _np(t):
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def _conv_kernel(t):
+    return np.transpose(_np(t), (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _set(tree: dict, path, value):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def load_torch_state_dict(path: str) -> Dict[str, "np.ndarray"]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    # strip DataParallel "module." prefixes
+    return {re.sub(r"^module\.", "", k): v for k, v in sd.items()}
+
+
+def convert_midas_v2(sd: Dict) -> Tuple[dict, dict]:
+    """midas_v21 state dict -> (params, batch_stats) for models.midas.MidasNet.
+
+    Checkpoint layout (reference midas_v2/blocks.py:19-52 wiring):
+      pretrained.layer1.0 = conv1, .1 = bn1, .4.{i} = resnet layer1 blocks;
+      pretrained.layer{2,3,4}.{i} = blocks; scratch.layerK_rn,
+      scratch.refinenetK.resConfUnit{1,2}.conv{1,2},
+      scratch.output_conv.{0,2,4}.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def put_conv(flax_path, key, bias=True):
+        _set(params, flax_path + ("kernel",), _conv_kernel(sd[key + ".weight"]))
+        if bias and key + ".bias" in sd:
+            _set(params, flax_path + ("bias",), _np(sd[key + ".bias"]))
+
+    def put_bn(flax_path, key):
+        _set(params, flax_path + ("scale",), _np(sd[key + ".weight"]))
+        _set(params, flax_path + ("bias",), _np(sd[key + ".bias"]))
+        _set(stats, flax_path + ("mean",), _np(sd[key + ".running_mean"]))
+        _set(stats, flax_path + ("var",), _np(sd[key + ".running_var"]))
+
+    put_conv(("pretrained", "conv1"), "pretrained.layer1.0", bias=False)
+    put_bn(("pretrained", "bn1"), "pretrained.layer1.1")
+
+    for stage in range(1, 5):
+        prefix = (
+            "pretrained.layer1.4" if stage == 1 else f"pretrained.layer{stage}"
+        )
+        b = -1
+        while f"{prefix}.{b + 1}.conv1.weight" in sd:
+            b += 1
+            src = f"{prefix}.{b}"
+            dst = ("pretrained", f"layer{stage}_{b}")
+            for c in ("conv1", "conv2", "conv3"):
+                put_conv(dst + (c,), f"{src}.{c}", bias=False)
+            for bn in ("bn1", "bn2", "bn3"):
+                put_bn(dst + (bn,), f"{src}.{bn}")
+            if f"{src}.downsample.0.weight" in sd:
+                put_conv(dst + ("downsample_conv",), f"{src}.downsample.0", bias=False)
+                put_bn(dst + ("downsample_bn",), f"{src}.downsample.1")
+
+    for k in range(1, 5):
+        put_conv((f"layer{k}_rn",), f"scratch.layer{k}_rn", bias=False)
+
+    for k in range(1, 5):
+        for rcu in ("resConfUnit1", "resConfUnit2"):
+            for c in ("conv1", "conv2"):
+                put_conv(
+                    (f"refinenet{k}", rcu, c),
+                    f"scratch.refinenet{k}.{rcu}.{c}",
+                )
+
+    put_conv(("output_conv1",), "scratch.output_conv.0")
+    put_conv(("output_conv2",), "scratch.output_conv.2")
+    put_conv(("output_conv3",), "scratch.output_conv.4")
+
+    return params, stats
+
+
+def load_midas_v2(path: str):
+    """Load + convert; returns a ready MidasV2Adapter."""
+    import jax
+
+    from .midas import MidasV2Adapter
+
+    sd = load_torch_state_dict(path)
+    params, stats = convert_midas_v2(sd)
+    params = jax.tree.map(lambda x: np.asarray(x, np.float32), params)
+    stats = jax.tree.map(lambda x: np.asarray(x, np.float32), stats)
+    return MidasV2Adapter(params=params, batch_stats=stats)

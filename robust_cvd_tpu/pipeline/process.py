@@ -1,0 +1,143 @@
+"""Pipeline orchestrator — the `DatasetProcessor` equivalent.
+
+Reference process.py:52-240: extract -> downscale (x3 resolutions) ->
+initial depth -> flow (+masks +stats) -> dynamic masks -> fine-tune.
+Stages are idempotent: each checks for existing outputs and skips
+(the reference's resumability contract, process.py:150-152 etc.).
+"""
+
+from __future__ import annotations
+
+import os
+from os.path import join as pjoin
+
+import numpy as np
+
+from ..config import PipelineConfig
+from ..io.store import VideoStore
+from .depth import compute_initial_depth
+from .flow import FlowStage
+from .pose import PoseOptimizer
+from .video import VideoStage
+
+FLOW_MAX_SIZE = 1024  # reference flow.py:40-42
+FLOW_ALIGN = 64
+
+
+class DatasetProcessor:
+    def __init__(self, cfg: PipelineConfig, models: dict | None = None):
+        """models: optional dict with 'depth' (MidasV2Adapter) and
+        'flow' ((RAFT module, variables)) entries; loaded lazily from
+        checkpoint paths otherwise."""
+        self.cfg = cfg
+        self.models = models or {}
+
+    def out_dir(self, num_frames: int) -> str:
+        """R{range}_{flow_ops}_{model} (reference process.py:82-89)."""
+        rng = self.cfg.resolved_frame_range(num_frames)
+        return pjoin(
+            self.cfg.path,
+            f"R{rng.to_string().replace(',', '_')}_"
+            f"{'_'.join(self.cfg.flow_ops)}_{self.cfg.model_type}",
+        )
+
+    def _depth_model(self):
+        if "depth" not in self.models:
+            from ..models.torch_port import load_midas_v2
+
+            ckpt = pjoin(self.cfg.path, "models", "midas_v21-f6b98070.pt")
+            if not os.path.exists(ckpt):
+                ckpt = os.environ.get("MIDAS_CHECKPOINT", "")
+            if not ckpt or not os.path.exists(ckpt):
+                raise FileNotFoundError(
+                    "MiDaS checkpoint not found; set MIDAS_CHECKPOINT or place "
+                    "models/midas_v21-f6b98070.pt under --path"
+                )
+            self.models["depth"] = load_midas_v2(ckpt)
+        return self.models["depth"]
+
+    def _flow_model(self):
+        if "flow" not in self.models:
+            from ..models.torch_port import load_raft
+
+            ckpt = pjoin(self.cfg.path, "models", "raft-things.pth")
+            if not os.path.exists(ckpt):
+                ckpt = os.environ.get("RAFT_CHECKPOINT", "")
+            if not ckpt or not os.path.exists(ckpt):
+                raise FileNotFoundError(
+                    "RAFT checkpoint not found; set RAFT_CHECKPOINT or place "
+                    "models/raft-things.pth under --path"
+                )
+            self.models["flow"] = load_raft(ckpt)
+        return self.models["flow"]
+
+    # -- stages --------------------------------------------------------------
+
+    def pipeline(self):
+        cfg = self.cfg
+        video = VideoStage(cfg.path, cfg.video_file)
+        meta = video.extract_frames()
+
+        video.downscale_frames("color_down", cfg.size, ".raw", cfg.align)
+        video.downscale_frames("color_down_png", cfg.size, ".png", cfg.align)
+        video.downscale_frames("color_flow", FLOW_MAX_SIZE, ".png", FLOW_ALIGN)
+
+        store = VideoStore.open(cfg.path)
+
+        depth = compute_initial_depth(store, self._depth_model(), cfg.model_type)
+
+        flow_stage = FlowStage(store, *self._flow_model_pair())
+        index_pairs = flow_stage.sample_index_pairs(cfg.flow_ops, meta.num_frames)
+        flow_stage.compute_flow(index_pairs)
+        flow_stage.compute_flow_masks(index_pairs)
+        flow_stage.compute_flow_pair_stats(index_pairs)
+
+        # dynamic masks: consumed from dynamic_mask/ when present (the
+        # reference spawns detectron2 Mask R-CNN here, process.py:147-165;
+        # segmentation-model port is tracked for a later round)
+
+        self.fine_tune(store, depth)
+        return store
+
+    def _flow_model_pair(self):
+        m = self._flow_model()
+        return (m[0], m[1]) if isinstance(m, tuple) else (m, None)
+
+    def fine_tune(self, store: VideoStore, depth: np.ndarray):
+        cfg = self.cfg
+        from ..training.fine_tune import FineTuner, build_clip_data
+
+        pose = PoseOptimizer(cfg, store, f"depth_{cfg.model_type}")
+        flow_list = store.load_flow_list()
+        use_temporal = (
+            cfg.loss.lambda_smooth_disparity > 0
+            or cfg.loss.lambda_smooth_reprojection > 0
+            or cfg.loss.lambda_smooth_depth_ratio > 0
+        )
+        clip = build_clip_data(
+            store.load_color_down(),
+            depth,
+            flow_list,
+            store.flows,
+            {k: np.asarray(v, np.float32) for k, v in store.flow_masks.items()},
+            cfg.min_mask_ratio,
+            use_temporal,
+        )
+        inputs = pose._make_inputs()
+        adapter = self._depth_model()
+        tuner = FineTuner(cfg, adapter, clip, inputs)
+        tuner.run()
+
+        out = self.out_dir(store.num_frames)
+        os.makedirs(out, exist_ok=True)
+        fine_store = VideoStore(out, store.meta)
+        fine_store.save_depth_stream(
+            f"depth_{cfg.model_type}_fine_tuned", np.asarray(tuner.current_depth)
+        )
+        return tuner
+
+    def process(self):
+        if self.cfg.op == "extract_frames":
+            VideoStage(self.cfg.path, self.cfg.video_file).extract_frames()
+            return None
+        return self.pipeline()

@@ -33,7 +33,7 @@ def resize_flow(flow: np.ndarray, out_hw) -> np.ndarray:
 
     H, W = flow.shape[:2]
     oh, ow = out_hw
-    out = np.asarray(resize_bilinear(jnp.asarray(flow), (oh, ow), align_corners=False))
+    out = np.array(resize_bilinear(jnp.asarray(flow), (oh, ow), align_corners=False))
     out[..., 0] *= ow / W
     out[..., 1] *= oh / H
     return out

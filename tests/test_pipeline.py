@@ -111,3 +111,24 @@ def test_consistent_flow_masks_reject_mismatch():
     bad_flow = np.full((H, W, 2), 5.0, np.float32)
     b01, _ = consistent_flow_masks(bad_flow, back_flow, c0, c1)
     assert b01.mean() < m01.mean()
+
+
+def test_visualization_helpers():
+    from robust_cvd_tpu.utils import visualization as viz
+
+    depth = np.random.default_rng(0).uniform(1, 5, (12, 16)).astype(np.float32)
+    img = viz.visualize_depth(depth)
+    assert img.shape == (12, 16, 3) and img.dtype == np.uint8
+
+    flow = np.zeros((8, 8, 2), np.float32)
+    flow[..., 0] = 1.0
+    fimg = viz.flow_to_image(flow)
+    assert fimg.shape == (8, 8, 3) and fimg.dtype == np.uint8
+    # uniform flow -> uniform color
+    assert (fimg == fimg[0, 0]).all()
+    # opposite directions get different colors
+    f2 = -flow
+    assert not (viz.flow_to_image(f2) == fimg).all()
+
+    masked = viz.apply_mask(np.full((4, 4, 3), 200, np.uint8), np.zeros((4, 4)))
+    assert masked.max() <= 60

@@ -24,10 +24,8 @@ def make_clip_problem(num_frames=100, samples_per_pair=100, seed=0):
 
     rng = np.random.default_rng(seed)
     pairs = sample_pairs(num_frames, ("hierarchical2",), two_way=True)
-    M = len(pairs) * samples_per_pair
-
-    f0 = np.repeat([p[0] for p in pairs], samples_per_pair)
-    f1 = np.repeat([p[1] for p in pairs], samples_per_pair)
+    P, C = len(pairs), samples_per_pair
+    pair = np.asarray(pairs, np.int32)
 
     # Synthetic static scene: cameras on a slow arc, plane-ish depth field.
     positions = np.stack(
@@ -35,8 +33,8 @@ def make_clip_problem(num_frames=100, samples_per_pair=100, seed=0):
         axis=-1,
     ).astype(np.float32)
     focal = 0.5
-    loc0 = rng.uniform(-0.9, 0.9, (M, 2)).astype(np.float32)
-    depth0 = rng.uniform(1.5, 4.0, M).astype(np.float32)
+    loc0 = rng.uniform(-0.9, 0.9, (P, C, 2)).astype(np.float32)
+    depth0 = rng.uniform(1.5, 4.0, (P, C)).astype(np.float32)
 
     # Exact reprojections -> consistent constraints.
     import jax
@@ -45,23 +43,22 @@ def make_clip_problem(num_frames=100, samples_per_pair=100, seed=0):
 
     pose = np.zeros((num_frames, 6), np.float32)
     pose[:, :3] = positions
-    fx = np.full(M, focal * 16 / 9, np.float32)
-    fy = np.full(M, focal, np.float32)
-    p0 = jnp.concatenate([jnp.asarray(loc0), jnp.asarray(depth0)[:, None]], axis=1)
-    world = R.camera_to_world(p0, jnp.asarray(fx), jnp.asarray(fy), jnp.asarray(pose)[f0])
-    p1 = R.world_to_camera(world, jnp.asarray(fx), jnp.asarray(fy), jnp.asarray(pose)[f1])
+    fx = np.full(P, focal * 16 / 9, np.float32)
+    fy = np.full(P, focal, np.float32)
+    p0 = jnp.concatenate([jnp.asarray(loc0), jnp.asarray(depth0)[..., None]], axis=-1)
+    world = R.camera_to_world(p0, jnp.asarray(fx), jnp.asarray(fy), jnp.asarray(pose)[pair[:, 0]])
+    p1 = R.world_to_camera(world, jnp.asarray(fx), jnp.asarray(fy), jnp.asarray(pose)[pair[:, 1]])
     p1 = np.asarray(jax.block_until_ready(p1))
 
     # Corrupt per-frame depth scales: the solver's work.
     frame_scale = rng.uniform(0.7, 1.4, num_frames).astype(np.float32)
     data = ConstraintData(
-        frame0=jnp.asarray(f0, jnp.int32),
-        frame1=jnp.asarray(f1, jnp.int32),
+        pair=jnp.asarray(pair),
         loc0=jnp.asarray(loc0),
-        loc1=jnp.asarray(p1[:, :2]),
-        depth0=jnp.asarray(depth0 / frame_scale[f0]),
-        depth1=jnp.asarray(p1[:, 2] / frame_scale[f1]),
-        weight=jnp.ones((M,), jnp.float32),
+        loc1=jnp.asarray(p1[..., :2]),
+        depth0=jnp.asarray(depth0 / frame_scale[pair[:, 0], None]),
+        depth1=jnp.asarray(p1[..., 2] / frame_scale[pair[:, 1], None]),
+        weight=jnp.ones((P, C), jnp.float32),
     )
     inputs = PoseOptInputs(
         data=data,
@@ -104,7 +101,7 @@ def main():
                 "vs_baseline": None,
                 "detail": {
                     "num_frames": num_frames,
-                    "constraints": int(inputs.data.frame0.shape[0]),
+                    "constraints": int(inputs.data.weight.size),
                     "elapsed_s": round(elapsed, 4),
                     "device": str(jax.devices()[0]),
                 },

@@ -325,41 +325,50 @@ def flatten_pairs(
     pairs: Dict[Tuple[int, int], PairConstraints],
     source_depth: np.ndarray,
     inv_aspect: float,
+    pad_to: int | None = None,
 ) -> ConstraintData:
-    """All pairs -> one flat ConstraintData with NDC locations, sampled
-    source depths, and weights (0 for dynamic/invalid-depth constraints —
-    the reference skips those at problem build,
-    lib/PoseOptimizer.cpp:1177-1193)."""
-    f0, f1, l0, l1, d0, d1, wgt = [], [], [], [], [], [], []
-    for (i, j) in pair_keys:
+    """All pairs -> pair-blocked (P, C) ConstraintData with NDC locations,
+    sampled source depths, and weights (0 for padding / dynamic /
+    invalid-depth constraints — the reference skips those at problem build,
+    lib/PoseOptimizer.cpp:1177-1193). Each pair is padded to the max
+    per-pair count (or `pad_to`)."""
+    keys = [k for k in pair_keys if len(pairs[k].loc0) > 0]
+    P = len(keys)
+    C = pad_to or max(len(pairs[k].loc0) for k in keys)
+
+    pair = np.zeros((P, 2), np.int32)
+    l0 = np.zeros((P, C, 2), np.float32)
+    l1 = np.zeros((P, C, 2), np.float32)
+    d0 = np.ones((P, C), np.float32)
+    d1 = np.ones((P, C), np.float32)
+    wgt = np.zeros((P, C), np.float32)
+
+    for p, (i, j) in enumerate(keys):
         pc = pairs[(i, j)]
-        C = len(pc.loc0)
-        if C == 0:
-            continue
-        dep0 = _sample_source_depth(source_depth[i], pc.loc0, inv_aspect)
-        dep1 = _sample_source_depth(source_depth[j], pc.loc1, inv_aspect)
+        n = min(len(pc.loc0), C)
+        dep0 = _sample_source_depth(source_depth[i], pc.loc0[:n], inv_aspect)
+        dep1 = _sample_source_depth(source_depth[j], pc.loc1[:n], inv_aspect)
         valid = (
-            pc.is_static
+            pc.is_static[:n]
             & np.isfinite(dep0)
             & (dep0 > 0)
             & np.isfinite(dep1)
             & (dep1 > 0)
         )
-        f0.append(np.full(C, i, np.int32))
-        f1.append(np.full(C, j, np.int32))
-        l0.append(loc_to_ndc(pc.loc0, inv_aspect))
-        l1.append(loc_to_ndc(pc.loc1, inv_aspect))
-        d0.append(np.where(valid, dep0, 1.0).astype(np.float32))
-        d1.append(np.where(valid, dep1, 1.0).astype(np.float32))
-        wgt.append(valid.astype(np.float32))
+        pair[p] = (i, j)
+        l0[p, :n] = loc_to_ndc(pc.loc0[:n], inv_aspect)
+        l1[p, :n] = loc_to_ndc(pc.loc1[:n], inv_aspect)
+        d0[p, :n] = np.where(valid, dep0, 1.0)
+        d1[p, :n] = np.where(valid, dep1, 1.0)
+        wgt[p, :n] = valid.astype(np.float32)
+
     return ConstraintData(
-        frame0=jnp.asarray(np.concatenate(f0)),
-        frame1=jnp.asarray(np.concatenate(f1)),
-        loc0=jnp.asarray(np.concatenate(l0)),
-        loc1=jnp.asarray(np.concatenate(l1)),
-        depth0=jnp.asarray(np.concatenate(d0)),
-        depth1=jnp.asarray(np.concatenate(d1)),
-        weight=jnp.asarray(np.concatenate(wgt)),
+        pair=jnp.asarray(pair),
+        loc0=jnp.asarray(l0),
+        loc1=jnp.asarray(l1),
+        depth0=jnp.asarray(d0),
+        depth1=jnp.asarray(d1),
+        weight=jnp.asarray(wgt),
     )
 
 
@@ -370,37 +379,42 @@ def flatten_triplets(
     inv_aspect: float,
     smooth_static_weight: float,
     smooth_dynamic_weight: float,
+    pad_to: int | None = None,
 ) -> TripletData | None:
-    frames, locs, deps, wgts = [], [], [], []
-    for t in triplet_keys:
+    keys = [t for t in triplet_keys if len(triplets[t].loc) > 0]
+    if not keys:
+        return None
+    T = len(keys)
+    C = pad_to or max(len(triplets[t].loc) for t in keys)
+
+    frame = np.zeros((T,), np.int32)
+    locs = np.zeros((T, C, 3, 2), np.float32)
+    deps = np.ones((T, C, 3), np.float32)
+    wgts = np.zeros((T, C), np.float32)
+
+    for p, t in enumerate(keys):
         tc = triplets[t]
-        C = len(tc.loc)
-        if C == 0:
-            continue
+        n = min(len(tc.loc), C)
         dep = np.stack(
             [
-                _sample_source_depth(source_depth[t - 1], tc.loc[:, 0], inv_aspect),
-                _sample_source_depth(source_depth[t], tc.loc[:, 1], inv_aspect),
-                _sample_source_depth(source_depth[t + 1], tc.loc[:, 2], inv_aspect),
+                _sample_source_depth(source_depth[t - 1], tc.loc[:n, 0], inv_aspect),
+                _sample_source_depth(source_depth[t], tc.loc[:n, 1], inv_aspect),
+                _sample_source_depth(source_depth[t + 1], tc.loc[:n, 2], inv_aspect),
             ],
             axis=1,
         )
         valid = np.all(np.isfinite(dep) & (dep > 0), axis=1)
-        w = np.where(tc.is_static, smooth_static_weight, smooth_dynamic_weight)
-        w = np.where(valid, w, 0.0)
-        frames.append(np.full(C, t, np.int32))
-        locs.append(
-            np.stack(
-                [loc_to_ndc(tc.loc[:, k], inv_aspect) for k in range(3)], axis=1
-            )
+        w = np.where(tc.is_static[:n], smooth_static_weight, smooth_dynamic_weight)
+        frame[p] = t
+        locs[p, :n] = np.stack(
+            [loc_to_ndc(tc.loc[:n, k], inv_aspect) for k in range(3)], axis=1
         )
-        deps.append(np.where(valid[:, None], dep, 1.0).astype(np.float32))
-        wgts.append(w.astype(np.float32))
-    if not frames:
-        return None
+        deps[p, :n] = np.where(valid[:, None], dep, 1.0)
+        wgts[p, :n] = np.where(valid, w, 0.0)
+
     return TripletData(
-        frame=jnp.asarray(np.concatenate(frames)),
-        loc=jnp.asarray(np.concatenate(locs)),
-        depth=jnp.asarray(np.concatenate(deps)),
-        weight=jnp.asarray(np.concatenate(wgts)),
+        frame=jnp.asarray(frame),
+        loc=jnp.asarray(locs),
+        depth=jnp.asarray(deps),
+        weight=jnp.asarray(wgts),
     )

@@ -6,6 +6,13 @@ residual block per sparse constraint (CPU autodiff through Jet types), all
 constraints are evaluated as one batched tensor program; Jacobians come from
 jvp/vjp through these functions inside the matrix-free LM solver (lm.py).
 
+Constraint layout: PAIR-BLOCKED dense tensors (P pairs x C samples per
+pair, padded with weight 0). All per-constraint parameter lookups (poses,
+focals, transform grids) collapse to per-PAIR gathers of size P (~hundreds)
+instead of per-constraint gathers of size P*C (~10^5) — gathers are the
+dominant cost of this graph on TPU; everything per-sample is dense
+(P, C, ...) vector math.
+
 Coordinate conventions (reference lib/PoseOptimizer.cpp:89-221):
   - Observation locations are NDC in [-1, 1]^2 (y up).
   - A camera-space point is (ndc_x + warp_x, ndc_y + warp_y, depth).
@@ -24,7 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..camera import rotate_point_axis_angle
 from ..config import PoseOptParams
 from . import xforms
 from .xforms import GridSpec
@@ -46,18 +52,17 @@ class SolverParams(NamedTuple):
 
 
 class ConstraintData(NamedTuple):
-    """Flattened pair constraints (static inputs to a solve).
+    """Pair-blocked constraints (static inputs to a solve).
 
-    frame0/frame1: (M,) int32 frame indices
-    loc0/loc1:     (M, 2) NDC observation locations
-    depth0/depth1: (M,) source depths sampled at the observations
-    weight:        (M,) 1.0 for valid static constraints, 0.0 for padding /
-                   dynamic / invalid-depth ones (reference skips those at
+    pair:          (P, 2) int32 (frame_i, frame_j)
+    loc0/loc1:     (P, C, 2) NDC observation locations
+    depth0/depth1: (P, C) source depths sampled at the observations
+    weight:        (P, C) 1.0 for valid static constraints, 0.0 for padding /
+                   dynamic / invalid-depth ones (the reference skips those at
                    problem-build time, lib/PoseOptimizer.cpp:1177-1193)
     """
 
-    frame0: jnp.ndarray
-    frame1: jnp.ndarray
+    pair: jnp.ndarray
     loc0: jnp.ndarray
     loc1: jnp.ndarray
     depth0: jnp.ndarray
@@ -66,11 +71,10 @@ class ConstraintData(NamedTuple):
 
 
 class TripletData(NamedTuple):
-    """Flattened triplet constraints for the scene-flow smoothness loss.
+    """Pair-blocked triplet constraints for scene-flow smoothness.
 
-    frame: (T,) int32 center-frame index (observations are frame-1, frame,
-    frame+1); loc: (T, 3, 2); depth: (T, 3); weight: (T,) static/dynamic
-    smoothness weight (already resolved per constraint), 0 for padding.
+    frame: (T,) int32 center-frame index; loc: (T, C, 3, 2); depth: (T, C, 3);
+    weight: (T, C) resolved static/dynamic smoothness weight, 0 for padding.
     """
 
     frame: jnp.ndarray
@@ -96,79 +100,129 @@ class SceneConfig(NamedTuple):
 _EPS = 1e-6
 
 
+# ---------------------------------------------------------------------------
+# Batched rotation (Rodrigues) broadcast over the sample axis.
+# ---------------------------------------------------------------------------
+
+
+def _rotate(aa, p):
+    """aa (..., 3) angle-axis; p (..., C, 3) points (aa broadcast over C)."""
+    theta2 = jnp.sum(aa * aa, axis=-1, keepdims=True)  # (..., 1)
+    theta = jnp.sqrt(theta2 + 1e-24)
+    axis = (aa / theta)[..., None, :]  # (..., 1, 3)
+    c = jnp.cos(theta)[..., None]
+    s = jnp.sin(theta)[..., None]
+    d = jnp.sum(axis * p, axis=-1, keepdims=True)
+    cross = jnp.cross(jnp.broadcast_to(axis, p.shape), p)
+    rotated = c * p + s * cross + (1.0 - c) * d * axis
+    small = p + jnp.cross(jnp.broadcast_to(aa[..., None, :], p.shape), p)
+    return jnp.where(theta2[..., None] < 1e-16, small, rotated)
+
+
+def _eval_depth_scale_rows(grid_rows, spec: GridSpec, loc, src_depth):
+    """Interpolated scale for pair-blocked samples.
+
+    grid_rows: (P, G) per-pair flattened grids; loc: (P, C, 2);
+    src_depth: (P, C). Returns (P, C)."""
+    didx, dw = xforms.grid_gather(spec, loc, src_depth)  # (P, C, K)
+    P, C, K = didx.shape
+    vals = jnp.take_along_axis(grid_rows, didx.reshape(P, C * K), axis=1)
+    return jnp.sum(vals.reshape(P, C, K) * dw, axis=-1)
+
+
+def _eval_warp_rows(sgrid_rows, spec: GridSpec, loc):
+    """Interpolated NDC warp for pair-blocked samples.
+
+    sgrid_rows: (P, S, 2); loc: (P, C, 2). Returns (P, C, 2)."""
+    sidx, sw = xforms.grid_gather(spec, loc)  # (P, C, K)
+    P, C, K = sidx.shape
+    flat = sgrid_rows.reshape(P, -1)  # (P, S*2)
+    x = jnp.take_along_axis(flat, (sidx * 2).reshape(P, C * K), axis=1)
+    y = jnp.take_along_axis(flat, (sidx * 2 + 1).reshape(P, C * K), axis=1)
+    wx = jnp.sum(x.reshape(P, C, K) * sw, axis=-1)
+    wy = jnp.sum(y.reshape(P, C, K) * sw, axis=-1)
+    return jnp.stack([wx, wy], axis=-1)
+
+
 def observation_to_camera(
-    params: SolverParams,
-    cfg: SceneConfig,
-    frame: jnp.ndarray,
-    loc: jnp.ndarray,
-    src_depth: jnp.ndarray,
+    params: SolverParams, cfg: SceneConfig, frames: jnp.ndarray,
+    loc: jnp.ndarray, src_depth: jnp.ndarray,
 ) -> jnp.ndarray:
     """Batched obsToCamera (reference lib/PoseOptimizer.cpp:159-171).
 
-    frame (M,), loc (M, 2), src_depth (M,) -> camera points (M, 3).
+    frames (P,), loc (P, C, 2), src_depth (P, C) -> camera points (P, C, 3).
     """
-    didx, dw = xforms.grid_gather(cfg.depth_spec, loc, src_depth)
-    dgrid = params.depth_grid[frame].reshape(frame.shape[0], -1)
-    scale = jnp.sum(jnp.take_along_axis(dgrid, didx, axis=1) * dw, axis=1)
+    P = frames.shape[0]
+    dgrid_rows = params.depth_grid.reshape(params.depth_grid.shape[0], -1)[frames]
+    scale = _eval_depth_scale_rows(dgrid_rows, cfg.depth_spec, loc, src_depth)
     depth = src_depth * scale
 
-    sidx, sw = xforms.grid_gather(cfg.spatial_spec, loc)
-    sgrid = params.spatial_grid[frame].reshape(frame.shape[0], -1, 2)
-    warp = jnp.sum(
-        jnp.take_along_axis(sgrid, sidx[..., None].repeat(2, -1), axis=1)
-        * sw[..., None],
-        axis=1,
-    )
-    return jnp.stack(
-        [loc[:, 0] + warp[:, 0], loc[:, 1] + warp[:, 1], depth], axis=-1
-    )
+    sgrid_rows = params.spatial_grid.reshape(
+        params.spatial_grid.shape[0], -1, 2
+    )[frames]
+    warp = _eval_warp_rows(sgrid_rows, cfg.spatial_spec, loc)
+    return jnp.concatenate([loc + warp, depth[..., None]], axis=-1)
 
 
-def _focal_xy(params: SolverParams, cfg: SceneConfig, frame: jnp.ndarray):
-    """Per-observation (fx, fy) with fy = vertical focal, fx = fy * aspect."""
+def _focal_xy(params: SolverParams, cfg: SceneConfig, frames: jnp.ndarray):
+    """Per-pair (fx, fy) with fy = vertical focal, fx = fy * aspect.
+    frames (P,) -> ((P,), (P,))."""
     if cfg.intr_opt == "Shared":
-        fy = jnp.broadcast_to(params.focal[0], frame.shape)
+        fy = jnp.broadcast_to(params.focal[0], frames.shape)
     elif cfg.intr_opt == "PerFrame":
-        fy = params.focal[frame]
+        fy = params.focal[frames]
     else:  # Fixed
-        fy = jnp.full(frame.shape, cfg.fixed_vfocal, jnp.float32)
+        fy = jnp.full(frames.shape, cfg.fixed_vfocal, jnp.float32)
     return fy * cfg.aspect, fy
 
 
 def camera_to_world(point_cam, fx, fy, pose):
-    """Batched cameraToWorld (reference lib/PoseOptimizer.cpp:174-192)."""
+    """Batched cameraToWorld (reference lib/PoseOptimizer.cpp:174-192).
+
+    point_cam (P, C, 3); fx/fy (P,); pose (P, 6) -> world (P, C, 3)."""
     dir_cam = jnp.stack(
-        [point_cam[:, 0] * fx, point_cam[:, 1] * fy, -jnp.ones_like(fx)], axis=-1
+        [
+            point_cam[..., 0] * fx[:, None],
+            point_cam[..., 1] * fy[:, None],
+            -jnp.ones_like(point_cam[..., 0]),
+        ],
+        axis=-1,
     )
-    dir_world = jax.vmap(rotate_point_axis_angle)(pose[:, 3:6], dir_cam)
-    return pose[:, 0:3] + dir_world * point_cam[:, 2:3]
+    dir_world = _rotate(pose[:, 3:6], dir_cam)
+    return pose[:, None, 0:3] + dir_world * point_cam[..., 2:3]
 
 
 def world_to_camera(point_world, fx, fy, pose):
     """Batched worldToCamera (reference lib/PoseOptimizer.cpp:195-221)."""
-    rel = point_world - pose[:, 0:3]
-    point_cam = jax.vmap(rotate_point_axis_angle)(-pose[:, 3:6], rel)
-    depth = -point_cam[:, 2]
+    rel = point_world - pose[:, None, 0:3]
+    point_cam = _rotate(-pose[:, 3:6], rel)
+    depth = -point_cam[..., 2]
     safe = jnp.where(jnp.abs(depth) > _EPS, depth, jnp.sign(depth) * _EPS + _EPS)
     return jnp.stack(
-        [point_cam[:, 0] / safe / fx, point_cam[:, 1] / safe / fy, depth], axis=-1
+        [
+            point_cam[..., 0] / safe / fx[:, None],
+            point_cam[..., 1] / safe / fy[:, None],
+            depth,
+        ],
+        axis=-1,
     )
 
 
 def static_scene_residuals(
     params: SolverParams, cfg: SceneConfig, data: ConstraintData
 ) -> jnp.ndarray:
-    """StaticSceneCost over all pair constraints -> (M, 3) raw residuals
+    """StaticSceneCost over all pair constraints -> (P, C, 3) raw residuals
     (reference lib/PoseOptimizer.cpp:223-319). Weights NOT applied here —
     the LM driver combines `data.weight` with IRLS robustification."""
-    fx0, fy0 = _focal_xy(params, cfg, data.frame0)
-    fx1, fy1 = _focal_xy(params, cfg, data.frame1)
+    fi, fj = data.pair[:, 0], data.pair[:, 1]
+    fx0, fy0 = _focal_xy(params, cfg, fi)
+    fx1, fy1 = _focal_xy(params, cfg, fj)
 
-    p0 = observation_to_camera(params, cfg, data.frame0, data.loc0, data.depth0)
-    p1 = observation_to_camera(params, cfg, data.frame1, data.loc1, data.depth1)
+    p0 = observation_to_camera(params, cfg, fi, data.loc0, data.depth0)
+    p1 = observation_to_camera(params, cfg, fj, data.loc1, data.depth1)
 
-    pose0 = params.pose[data.frame0]
-    pose1 = params.pose[data.frame1]
+    pose0 = params.pose[fi]
+    pose1 = params.pose[fj]
     world0 = camera_to_world(p0, fx0, fy0, pose0)
 
     if cfg.static_loss_type == "Euclidean":
@@ -176,11 +230,11 @@ def static_scene_residuals(
         return world1 - world0
 
     p01 = world_to_camera(world0, fx1, fy1, pose1)
-    rx = (p01[:, 0] - p1[:, 0]) * cfg.static_spatial_weight
-    ry = (p01[:, 1] - p1[:, 1]) * cfg.static_spatial_weight
+    rx = (p01[..., 0] - p1[..., 0]) * cfg.static_spatial_weight
+    ry = (p01[..., 1] - p1[..., 1]) * cfg.static_spatial_weight
 
-    z01 = p01[:, 2]
-    z1 = p1[:, 2]
+    z01 = p01[..., 2]
+    z1 = p1[..., 2]
     if cfg.static_loss_type == "ReproDisparity":
         rz = (
             1.0 / jnp.maximum(z01, _EPS) - 1.0 / jnp.maximum(z1, _EPS)
@@ -199,13 +253,15 @@ def static_scene_residuals(
 def smoothness_residuals(
     params: SolverParams, cfg: SceneConfig, data: TripletData
 ) -> jnp.ndarray:
-    """SceneFlowSmoothnessLoss over triplets -> (T, 3)
+    """SceneFlowSmoothnessLoss over triplets -> (T, C, 3)
     (reference lib/PoseOptimizer.cpp:321-423)."""
     frames = [data.frame - 1, data.frame, data.frame + 1]
     pts, fxs, fys = [], [], []
     for k, f in enumerate(frames):
         fx, fy = _focal_xy(params, cfg, f)
-        p = observation_to_camera(params, cfg, f, data.loc[:, k], data.depth[:, k])
+        p = observation_to_camera(
+            params, cfg, f, data.loc[:, :, k], data.depth[:, :, k]
+        )
         pts.append(p)
         fxs.append(fx)
         fys.append(fy)
@@ -221,18 +277,18 @@ def smoothness_residuals(
     p01 = world_to_camera(w0, fxs[1], fys[1], poses[1])
     p21 = world_to_camera(w2, fxs[1], fys[1], poses[1])
     p1 = pts[1]
-    rx = (p01[:, 0] + p21[:, 0] - 2.0 * p1[:, 0]) / fys[1]
-    ry = (p01[:, 1] + p21[:, 1] - 2.0 * p1[:, 1]) / fys[1]
+    rx = (p01[..., 0] + p21[..., 0] - 2.0 * p1[..., 0]) / fys[1][:, None]
+    ry = (p01[..., 1] + p21[..., 1] - 2.0 * p1[..., 1]) / fys[1][:, None]
 
     if cfg.smooth_loss_type == "ReproDisparityLaplacian":
         rz = (
-            1.0 / jnp.maximum(p01[:, 2], _EPS)
-            + 1.0 / jnp.maximum(p21[:, 2], _EPS)
-            - 2.0 / jnp.maximum(p1[:, 2], _EPS)
+            1.0 / jnp.maximum(p01[..., 2], _EPS)
+            + 1.0 / jnp.maximum(p21[..., 2], _EPS)
+            - 2.0 / jnp.maximum(p1[..., 2], _EPS)
         )
     else:
-        base = p1[:, 2]
-        other = p01[:, 2] + p21[:, 2] - p1[:, 2]
+        base = p1[..., 2]
+        other = p01[..., 2] + p21[..., 2] - p1[..., 2]
         mx, mn = jnp.maximum(base, other), jnp.minimum(base, other)
         if cfg.smooth_loss_type == "ReproDepthRatioConsistency":
             rz = mx / jnp.where(jnp.abs(mn) > _EPS, mn, _EPS) - 1.0
@@ -259,12 +315,8 @@ def scale_reg_residuals(
     G = grid_locs.shape[0]
     locs = jnp.broadcast_to(grid_locs[None], (N, G, 2))
     med = jnp.broadcast_to(median_depth[:, None], (N, G))
-    didx, dw = xforms.grid_gather(cfg.depth_spec, locs, med)
-
-    def per_frame(grid_flat, idx, w):
-        return jnp.sum(grid_flat[idx] * w, axis=-1)
-
-    scale = jax.vmap(per_frame)(params.depth_grid.reshape(N, -1), didx, dw)
+    rows = params.depth_grid.reshape(N, -1)
+    scale = _eval_depth_scale_rows(rows, cfg.depth_spec, locs, med)
     depth = med * scale
     return 1.0 / jnp.maximum(depth, _EPS) - 1.0
 
@@ -310,7 +362,7 @@ def build_residual_fn(
     """Assemble the full weighted residual vector function for one stage.
 
     Returns `fn(params, irls_weight, aux: StageAux) -> flat residuals`, where
-    `irls_weight` (M,) carries the frozen per-constraint robustification
+    `irls_weight` (P, C) carries the frozen per-constraint robustification
     weights (sqrt of the Cauchy IRLS weight), recomputed between LM outer
     iterations.
     """
@@ -323,12 +375,14 @@ def build_residual_fn(
         parts = []
 
         r_static = static_scene_residuals(params, cfg, aux.data)
-        w = (aux.data.weight * irls_weight)[:, None]
+        w = (aux.data.weight * irls_weight)[..., None]
         parts.append((r_static * w).reshape(-1))
 
         if use_triplets:
             r_sm = smoothness_residuals(params, cfg, aux.triplets)
-            parts.append((r_sm * jnp.sqrt(aux.triplets.weight)[:, None]).reshape(-1))
+            parts.append(
+                (r_sm * jnp.sqrt(aux.triplets.weight)[..., None]).reshape(-1)
+            )
 
         if sqrt_scale_reg > 0.0 and not opt.fix_depth_transforms:
             r_scale = scale_reg_residuals(

@@ -338,25 +338,28 @@ class FineTuner:
         inv_aspect = 1.0 / self.pose_inputs.aspect
         # resample source depths at constraint locations (host, cheap)
         depth_np = np.asarray(depth)
-        loc0 = np.asarray(data.loc0)
+        loc0 = np.asarray(data.loc0)  # (P, C, 2) NDC
         loc1 = np.asarray(data.loc1)
+
         # NDC -> normalized [0,1] x [0,inv_aspect]
-        n0 = np.stack(
-            [(loc0[:, 0] + 1) / 2, (1 - loc0[:, 1]) / 2 * inv_aspect], -1
-        )
-        n1 = np.stack(
-            [(loc1[:, 0] + 1) / 2, (1 - loc1[:, 1]) / 2 * inv_aspect], -1
-        )
-        f0 = np.asarray(data.frame0)
-        f1 = np.asarray(data.frame1)
+        def to_norm(loc):
+            return np.stack(
+                [(loc[..., 0] + 1) / 2, (1 - loc[..., 1]) / 2 * inv_aspect], -1
+            )
+
+        f0 = np.asarray(data.pair[:, 0])
+        f1 = np.asarray(data.pair[:, 1])
         h, w = depth_np.shape[1:]
+
         def samp(frames, locs):
-            x = np.clip((locs[:, 0] * w).astype(np.int32), 0, w - 1)
-            y = np.clip((locs[:, 1] / inv_aspect * h).astype(np.int32), 0, h - 1)
-            return depth_np[frames, y, x]
+            x = np.clip((locs[..., 0] * w).astype(np.int32), 0, w - 1)
+            y = np.clip((locs[..., 1] / inv_aspect * h).astype(np.int32), 0, h - 1)
+            return depth_np[frames[:, None], y, x]
+
         self.pose_inputs = self.pose_inputs._replace(
             data=data._replace(
-                depth0=jnp.asarray(samp(f0, n0)), depth1=jnp.asarray(samp(f1, n1))
+                depth0=jnp.asarray(samp(f0, to_norm(loc0))),
+                depth1=jnp.asarray(samp(f1, to_norm(loc1))),
             ),
             median_depth=med,
         )

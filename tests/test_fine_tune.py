@@ -51,23 +51,21 @@ def make_tiny_setup(N=4, H=16, W=16):
             masks[(a, b)] = np.ones((H, W), np.float32)
     clip = fine_tune.build_clip_data(images, depth, flow_list, flows, masks, 0.2)
 
-    # constraints: zero-flow static scene
-    M = 3 * (N - 1) * 2
-    f0, f1, locs = [], [], []
+    # constraints: zero-flow static scene, pair-blocked (P, C=3)
+    pairs = []
     for i in range(N - 1):
-        for (a, b) in ((i, i + 1), (i + 1, i)):
-            f0 += [a] * 3
-            f1 += [b] * 3
-            locs += [[-0.5, -0.5], [0.0, 0.3], [0.5, 0.1]]
-    locs = np.asarray(locs, np.float32)
+        pairs += [(i, i + 1), (i + 1, i)]
+    P, C = len(pairs), 3
+    locs = np.tile(
+        np.asarray([[-0.5, -0.5], [0.0, 0.3], [0.5, 0.1]], np.float32), (P, 1, 1)
+    )
     data = ConstraintData(
-        frame0=jnp.asarray(f0, jnp.int32),
-        frame1=jnp.asarray(f1, jnp.int32),
+        pair=jnp.asarray(np.asarray(pairs, np.int32)),
         loc0=jnp.asarray(locs),
         loc1=jnp.asarray(locs),
-        depth0=jnp.full((M,), 2.0),
-        depth1=jnp.full((M,), 2.0),
-        weight=jnp.ones((M,)),
+        depth0=jnp.full((P, C), 2.0),
+        depth1=jnp.full((P, C), 2.0),
+        weight=jnp.ones((P, C)),
     )
     inputs = PoseOptInputs(
         data=data, median_depth=jnp.full((N,), 2.0), aspect=1.0, num_frames=N

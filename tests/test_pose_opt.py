@@ -61,8 +61,8 @@ def test_full_pose_optimization_reduces_residuals():
     # The scene's source depths are perfect; corrupt them with per-frame
     # scale errors that the solver's depth transforms must undo.
     frame_scale = rng.uniform(0.8, 1.25, 4).astype(np.float32)
-    s0 = frame_scale[np.asarray(data.frame0)]
-    s1 = frame_scale[np.asarray(data.frame1)]
+    s0 = frame_scale[np.asarray(data.pair[:, 0])][:, None]
+    s1 = frame_scale[np.asarray(data.pair[:, 1])][:, None]
     data_corrupt = data._replace(
         depth0=data.depth0 / jnp.asarray(s0),
         depth1=data.depth1 / jnp.asarray(s1),

@@ -365,6 +365,66 @@ class FineTuner:
         )
         self.current_depth = depth
 
+    # -- evaluation / persistence artifacts ---------------------------------
+
+    def eval_pair_losses(self) -> List[Dict]:
+        """Per-pair loss breakdown (reference eval_and_save writes
+        eval/loss_%04d.json each epoch, depth_fine_tuning.py:633-860)."""
+        P = int(self.clip.pair_idx.shape[0])
+        out = []
+        for p in range(P):
+            ids = jnp.asarray([p], jnp.int32)
+            _, _, _, loss, parts = self.step_fn(
+                self.params, self.batch_stats, self.opt_state, ids,
+                self.clip, self.pose_state, self.params_init,
+            )
+            entry = {
+                "pair": [int(x) for x in np.asarray(self.clip.pair_idx[p])],
+                "loss": float(loss),
+            }
+            entry.update({k: float(np.mean(np.asarray(v))) for k, v in parts.items()})
+            out.append(entry)
+        return out
+
+    def save_eval_json(self, out_dir: str, epoch: int):
+        import json
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, f"loss_{epoch:04d}.json"), "w") as f:
+            json.dump(self.eval_pair_losses(), f, indent=1)
+
+    def save_checkpoint(self, ckpt_dir: str, epoch: int):
+        """Model + optimizer checkpoint via orbax (the reference saves torch
+        .pth files per epoch, depth_fine_tuning.py:218-220, 568-573)."""
+        import os
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(ckpt_dir, f"{epoch:04d}"))
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(
+            path,
+            {
+                "params": self.params,
+                "batch_stats": self.batch_stats,
+                "opt_state": self.opt_state,
+            },
+            force=True,
+        )
+
+    def load_checkpoint(self, ckpt_dir: str, epoch: int):
+        import os
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(ckpt_dir, f"{epoch:04d}"))
+        ckptr = ocp.PyTreeCheckpointer()
+        restored = ckptr.restore(path)
+        self.params = restored["params"]
+        self.batch_stats = restored["batch_stats"]
+        self.opt_state = restored["opt_state"]
+
     def infer_depth(self, batch: int = 8) -> jnp.ndarray:
         """Batched whole-clip inference (reference save_depth,
         depth_fine_tuning.py:227-294)."""

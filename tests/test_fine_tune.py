@@ -113,3 +113,33 @@ def test_pose_state_from_solver_shapes():
     np.testing.assert_allclose(
         np.asarray(ps.extrinsics[0, :, :3]), np.eye(3), atol=1e-6
     )
+
+
+def test_eval_and_checkpoint(tmp_path):
+    import dataclasses
+
+    import jax
+
+    clip, inputs = make_tiny_setup()
+    cfg = PipelineConfig(
+        opt=PoseOptParams(num_steps=1, coarse_to_fine=False, lm_max_outer=3, lm_cg_iters=4),
+    )
+    cfg = dataclasses.replace(
+        cfg, ft=dataclasses.replace(cfg.ft, num_epochs=1, batch_size=2, pose_opt_freq=10)
+    )
+    tuner = FineTuner(cfg, TinyAdapter(), clip, inputs)
+    tuner.optimize_poses()
+
+    losses = tuner.eval_pair_losses()
+    assert len(losses) == int(clip.pair_idx.shape[0])
+    assert all(np.isfinite(e["loss"]) for e in losses)
+    tuner.save_eval_json(str(tmp_path / "eval"), 0)
+    assert (tmp_path / "eval" / "loss_0000.json").exists()
+
+    tuner.save_checkpoint(str(tmp_path / "ckpt"), 0)
+    orig = jax.tree.map(np.asarray, tuner.params)
+    tuner.params = jax.tree.map(lambda x: x * 0, tuner.params)
+    tuner.load_checkpoint(str(tmp_path / "ckpt"), 0)
+    restored = jax.tree.map(np.asarray, tuner.params)
+    chk = jax.tree.map(np.allclose, orig, restored)
+    assert all(jax.tree.leaves(chk))

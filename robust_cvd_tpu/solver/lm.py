@@ -77,12 +77,20 @@ def _tmul(a, b):
     return jax.tree.map(jnp.multiply, a, b)
 
 
-def _cg(matvec: Callable, b, iters: int):
-    """Conjugate gradients on pytrees, fixed iteration count."""
+def _cg(matvec: Callable, b, iters: int, rtol: float = 0.01):
+    """Conjugate gradients on pytrees with an inexact-Newton stopping rule:
+    stop when ||r|| < rtol * ||b|| (Steihaug-style forcing, the same idea as
+    Ceres' inexact step) or after `iters` iterations."""
     x0 = jax.tree.map(jnp.zeros_like, b)
+    b2 = _tdot(b, b)
+    tol2 = (rtol * rtol) * b2
 
-    def body(_, state):
-        x, r, p, rs = state
+    def cond(state):
+        _, _, _, rs, it = state
+        return jnp.logical_and(it < iters, rs > tol2)
+
+    def body(state):
+        x, r, p, rs, it = state
         Ap = matvec(p)
         denom = _tdot(p, Ap)
         alpha = jnp.where(denom > 0, rs / jnp.maximum(denom, 1e-30), 0.0)
@@ -91,11 +99,10 @@ def _cg(matvec: Callable, b, iters: int):
         rs_new = _tdot(r, r)
         beta = rs_new / jnp.maximum(rs, 1e-30)
         p = _taxpy(beta, p, r)
-        return x, r, p, rs_new
+        return x, r, p, rs_new, it + 1
 
-    r0 = jax.tree.map(lambda u, v: u - v, b, matvec(x0))
-    state = (x0, r0, r0, _tdot(r0, r0))
-    x, *_ = jax.lax.fori_loop(0, iters, body, state)
+    state = (x0, b, b, b2, jnp.array(0))
+    x, *_ = jax.lax.while_loop(cond, body, state)
     return x
 
 
@@ -197,13 +204,24 @@ def solve(
     lam = jnp.asarray(cfg.lam_init, jnp.float32)
     cost = jnp.asarray(jnp.inf)
     it = 0
+    rejects = 0
     for it in range(1, cfg.max_outer + 1):
         params, lam, cost, accept, rel_decrease = _lm_outer_step(
             weighted_residual_fn, robust_residual_fn, project_fn, cfg,
             params, lam, mask, aux,
         )
-        if bool(accept) and float(rel_decrease) < cfg.rtol:
-            break
+        if bool(accept):
+            rejects = 0
+            if float(rel_decrease) < cfg.rtol:
+                break
+        else:
+            # Rejected trial steps are normal while lambda ramps up; only
+            # exit once lambda has SATURATED without finding descent — the
+            # solve has converged (Ceres' analogous exit is
+            # min_trust_region_radius / function_tolerance).
+            rejects += 1
+            if rejects >= 3 and float(lam) >= cfg.lam_max:
+                break
     return LMResult(params=params, cost=cost, iterations=it, lam=lam)
 
 

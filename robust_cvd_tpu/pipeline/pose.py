@@ -134,7 +134,9 @@ class PoseOptimizer:
         return self.solver_params
 
     def save(self):
-        """Persist optimized camera state back to the store."""
+        """Persist optimized camera state + transforms back to the store and
+        write `video.dat` (reference pose_optimization.py:240 calls
+        depth_video.save())."""
         from ..camera import pose_params_to_camera
 
         if self.solver_params is None:
@@ -142,3 +144,68 @@ class PoseOptimizer:
         self.store.camera = pose_params_to_camera(
             self.solver_params.pose, self.solver_params.focal, self.store.aspect
         )
+        self.write_video_dat()
+
+    def write_video_dat(self):
+        """Serialize the clip state in the reference's binary container
+        (reference lib/DepthVideo.cpp:300-385)."""
+        import numpy as np
+
+        from ..io import video_dat as vd
+
+        store = self.store
+        sp = self.solver_params
+        cam = store.camera
+        N = store.num_frames
+
+        gz, gy, gx = sp.depth_grid.shape[1:]
+        if (gx, gy, gz) == (1, 1, 1):
+            ddesc = vd.XformDesc(type="Depth", depth_type="Global", value_xform="Scale")
+        else:
+            ddesc = vd.XformDesc(
+                type="Depth", depth_type="Grid", value_xform="Scale",
+                grid_size=(gx, gy, gz),
+            )
+        sy, sx = sp.spatial_grid.shape[1:3]
+        if (sx, sy) == (1, 1):
+            sdesc = vd.XformDesc(type="Spatial", spatial_type="Identity")
+        else:
+            sdesc = vd.XformDesc(
+                type="Spatial", spatial_type="BicubicGrid", grid_size=(sx, sy, 0)
+            )
+
+        down = store.load_color_down()
+        dh, dw = down.shape[1:3]
+        frames = []
+        for i in range(N):
+            frames.append(
+                vd.DepthFrameInfo(
+                    vfov=float(cam.vfov[i]),
+                    hfov=float(cam.hfov[i]),
+                    position=tuple(np.asarray(cam.position[i], float)),
+                    quaternion=tuple(np.asarray(cam.quaternion[i], float)),
+                    enabled=True,
+                    depth_params=np.asarray(sp.depth_grid[i], np.float64).reshape(-1),
+                    spatial_params=(
+                        np.asarray(sp.spatial_grid[i], np.float64).reshape(-1)
+                        if (sx, sy) != (1, 1)
+                        else np.zeros(0)
+                    ),
+                )
+            )
+        container = vd.VideoDat(
+            pts=list(store.meta.pts),
+            color_streams=[
+                vd.ColorStreamInfo("full", "color_full", ".png", 21, store.meta.width, store.meta.height),
+                vd.ColorStreamInfo("down", "color_down", ".raw", 21, dw, dh),
+            ],
+            depth_streams=[
+                vd.DepthStreamInfo(
+                    self.depth_stream, self.depth_stream, ddesc, sdesc, dw, dh, frames
+                )
+            ],
+            duration=store.meta.pts[-1] if store.meta.pts else 0.0,
+            width=store.meta.width,
+            height=store.meta.height,
+        )
+        vd.save_video_dat(pjoin(store.base_dir, "video.dat"), container)

@@ -83,11 +83,12 @@ class FlowStage:
     """Drives flow computation over the sampled pair list."""
 
     def __init__(self, store: VideoStore, raft_model=None, raft_variables=None,
-                 batch_size: int = 4):
+                 batch_size: int = 4, homography: bool = True):
         self.store = store
         self.model = raft_model
         self.variables = raft_variables
         self.batch_size = batch_size
+        self.homography = homography
 
     def sample_index_pairs(self, flow_ops, num_frames) -> List[Tuple[int, int]]:
         return sample_pairs(num_frames, flow_ops, two_way=True)
@@ -116,6 +117,8 @@ class FlowStage:
         def run(im1, im2):
             return self.model.apply(self.variables, im1, im2)
 
+        from ..ops import homography as hg
+
         B = self.batch_size
         for s in range(0, len(missing), B):
             chunk = missing[s : s + B]
@@ -125,6 +128,13 @@ class FlowStage:
             im2 = np.stack(
                 [load_png_color(pjoin(flow_dir, frame_name(j, ".png"))) for _, j in chunk]
             )
+            # homography pre-registration (reference
+            # optical_flow_homography.py:139-173): RAFT sees frame2 warped
+            # into frame1's frame; flow is un-warped through H^-1 after.
+            Hs = [np.eye(3, dtype=np.float32)] * len(chunk)
+            if self.homography:
+                for k in range(len(chunk)):
+                    Hs[k], im2[k] = hg.register_pair(im1[k], im2[k])
             pad = B - len(chunk)
             if pad:
                 im1 = np.concatenate([im1, im1[-1:].repeat(pad, 0)])
@@ -133,7 +143,10 @@ class FlowStage:
                 run(jnp.asarray(im1 * 255.0), jnp.asarray(im2 * 255.0))
             )
             for k, (i, j) in enumerate(chunk):
-                self.store.save_flow(i, j, resize_flow(flows[k], (dh, dw)))
+                flow = flows[k]
+                if self.homography:
+                    flow = hg.unwarp_flow(flow, Hs[k])
+                self.store.save_flow(i, j, resize_flow(flow, (dh, dw)))
 
     def compute_flow_masks(self, index_pairs, flow_thresh=1.0, color_thresh=1.0):
         """(reference flow.py:180-209)."""

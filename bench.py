@@ -15,7 +15,7 @@ import time
 import numpy as np
 
 
-def make_clip_problem(num_frames=100, samples_per_pair=100, seed=0):
+def make_clip_problem(num_frames=100, samples_per_pair=128, seed=0):
     import jax.numpy as jnp
 
     from robust_cvd_tpu.solver.pose_opt import PoseOptInputs

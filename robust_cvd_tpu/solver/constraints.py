@@ -335,6 +335,7 @@ def flatten_pairs(
     keys = [k for k in pair_keys if len(pairs[k].loc0) > 0]
     P = len(keys)
     C = pad_to or max(len(pairs[k].loc0) for k in keys)
+    C = ((C + 127) // 128) * 128  # lane-width padding: TPU tiles want 128
 
     pair = np.zeros((P, 2), np.int32)
     l0 = np.zeros((P, C, 2), np.float32)
@@ -386,6 +387,7 @@ def flatten_triplets(
         return None
     T = len(keys)
     C = pad_to or max(len(triplets[t].loc) for t in keys)
+    C = ((C + 127) // 128) * 128  # lane-width padding
 
     frame = np.zeros((T,), np.int32)
     locs = np.zeros((T, C, 3, 2), np.float32)

@@ -114,7 +114,8 @@ def _normalize_res_fn(cfg: SceneConfig, sqrt_scale: float, deform_w: float):
         parts = [
             (
                 residuals.scale_reg_residuals(
-                    p, cfg, aux.median_depth, aux.scale_grid_locs
+                    p, cfg, aux.median_depth, aux.scale_grid_locs,
+                    aux.taps.scale_reg if aux.taps is not None else None,
                 )
                 * sqrt_scale
             ).reshape(-1)
@@ -138,7 +139,7 @@ def _stage_res_fn(cfg: SceneConfig, opt: PoseOptParams, deform_w: float, use_tri
 @lru_cache(maxsize=None)
 def _robust_fn(cfg: SceneConfig):
     def robust(p: SolverParams, aux: StageAux):
-        return residuals.static_scene_residuals(p, cfg, aux.data)
+        return residuals.static_scene_residuals(p, cfg, aux.data, aux.taps)
 
     return robust
 
@@ -164,12 +165,24 @@ def _make_cfg(opt: PoseOptParams, inputs: PoseOptInputs, params: SolverParams,
     )
 
 
-def _aux(opt: PoseOptParams, inputs: PoseOptInputs, use_triplets: bool) -> StageAux:
+def _aux(
+    opt: PoseOptParams,
+    inputs: PoseOptInputs,
+    use_triplets: bool,
+    cfg: SceneConfig | None = None,
+) -> StageAux:
+    locs = scale_reg_grid_locs(opt, inputs.aspect)
+    taps = None
+    if cfg is not None:
+        taps = residuals.build_dense_taps(
+            cfg, inputs.data, inputs.median_depth, locs
+        )
     return StageAux(
         data=inputs.data,
         median_depth=inputs.median_depth,
-        scale_grid_locs=scale_reg_grid_locs(opt, inputs.aspect),
+        scale_grid_locs=locs,
         triplets=inputs.triplets if use_triplets else None,
+        taps=taps,
     )
 
 
@@ -195,7 +208,7 @@ def normalize_depth(
         params,
         mask,
         _lm_config(opt),
-        aux=_aux(opt, inputs, use_triplets=False),
+        aux=_aux(opt, inputs, use_triplets=False, cfg=cfg),
         project_fn=_project_nonneg,
     )
     solved = out.params
@@ -241,7 +254,7 @@ def _solve_step(
         params,
         mask,
         _lm_config(opt),
-        aux=_aux(opt, inputs, use_smooth),
+        aux=_aux(opt, inputs, use_smooth, cfg=cfg),
     )
     return out.params
 

@@ -119,21 +119,50 @@ def _rotate(aa, p):
     return jnp.where(theta2[..., None] < 1e-16, small, rotated)
 
 
-def _eval_depth_scale_rows(grid_rows, spec: GridSpec, loc, src_depth):
+_HI = jax.lax.Precision.HIGHEST
+
+
+def dense_tap_weights(
+    spec: GridSpec, loc: jnp.ndarray, src_depth: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Interpolation taps expanded to DENSE per-handle weights.
+
+    loc (..., 2) [src_depth (...,)] -> W (..., G) with G = grid handles,
+    such that interp(grid) == einsum('...g,g->...', W, grid_flat).
+
+    These are constant during a solve (they depend only on observation
+    locations and SOURCE depths), so they are computed once per solver
+    stage; every residual/jvp/vjp evaluation then interpolates with one MXU
+    einsum instead of a gather — gathers at sub-lane widths are the dominant
+    cost of this graph on TPU (measured ~3 ms vs ~0.1 ms for the einsum).
+    """
+    idx, w = xforms.grid_gather(spec, loc, src_depth)  # (..., K)
+    G = spec.num_handles
+    onehot = jax.nn.one_hot(idx, G, dtype=w.dtype)  # (..., K, G)
+    return jnp.einsum("...k,...kg->...g", w, onehot, precision=_HI)
+
+
+def _eval_depth_scale_rows(grid_rows, spec: GridSpec, loc, src_depth, W=None):
     """Interpolated scale for pair-blocked samples.
 
     grid_rows: (P, G) per-pair flattened grids; loc: (P, C, 2);
-    src_depth: (P, C). Returns (P, C)."""
+    src_depth: (P, C); W: optional precomputed dense taps (P, C, G).
+    Returns (P, C)."""
+    if W is not None:
+        return jnp.einsum("pcg,pg->pc", W, grid_rows, precision=_HI)
     didx, dw = xforms.grid_gather(spec, loc, src_depth)  # (P, C, K)
     P, C, K = didx.shape
     vals = jnp.take_along_axis(grid_rows, didx.reshape(P, C * K), axis=1)
     return jnp.sum(vals.reshape(P, C, K) * dw, axis=-1)
 
 
-def _eval_warp_rows(sgrid_rows, spec: GridSpec, loc):
+def _eval_warp_rows(sgrid_rows, spec: GridSpec, loc, W=None):
     """Interpolated NDC warp for pair-blocked samples.
 
-    sgrid_rows: (P, S, 2); loc: (P, C, 2). Returns (P, C, 2)."""
+    sgrid_rows: (P, S, 2); loc: (P, C, 2); W: optional dense taps (P, C, S).
+    Returns (P, C, 2)."""
+    if W is not None:
+        return jnp.einsum("pcs,psd->pcd", W, sgrid_rows, precision=_HI)
     sidx, sw = xforms.grid_gather(spec, loc)  # (P, C, K)
     P, C, K = sidx.shape
     flat = sgrid_rows.reshape(P, -1)  # (P, S*2)
@@ -144,23 +173,52 @@ def _eval_warp_rows(sgrid_rows, spec: GridSpec, loc):
     return jnp.stack([wx, wy], axis=-1)
 
 
+class DenseTaps(NamedTuple):
+    """Per-stage dense interpolation weights (see dense_tap_weights)."""
+
+    d0: jnp.ndarray  # (P, C, Gd) depth taps at loc0
+    d1: jnp.ndarray  # (P, C, Gd) depth taps at loc1
+    s0: jnp.ndarray  # (P, C, Gs) spatial taps at loc0
+    s1: jnp.ndarray  # (P, C, Gs) spatial taps at loc1
+    scale_reg: jnp.ndarray  # (N, G_locs, Gd) taps at the scale-reg grid
+
+
+def build_dense_taps(
+    cfg: SceneConfig,
+    data: ConstraintData,
+    median_depth: jnp.ndarray,
+    scale_grid_locs: jnp.ndarray,
+) -> DenseTaps:
+    N = median_depth.shape[0]
+    G = scale_grid_locs.shape[0]
+    locs = jnp.broadcast_to(scale_grid_locs[None], (N, G, 2))
+    med = jnp.broadcast_to(median_depth[:, None], (N, G))
+    return DenseTaps(
+        d0=dense_tap_weights(cfg.depth_spec, data.loc0, data.depth0),
+        d1=dense_tap_weights(cfg.depth_spec, data.loc1, data.depth1),
+        s0=dense_tap_weights(cfg.spatial_spec, data.loc0),
+        s1=dense_tap_weights(cfg.spatial_spec, data.loc1),
+        scale_reg=dense_tap_weights(cfg.depth_spec, locs, med),
+    )
+
+
 def observation_to_camera(
     params: SolverParams, cfg: SceneConfig, frames: jnp.ndarray,
     loc: jnp.ndarray, src_depth: jnp.ndarray,
+    dW=None, sW=None,
 ) -> jnp.ndarray:
     """Batched obsToCamera (reference lib/PoseOptimizer.cpp:159-171).
 
     frames (P,), loc (P, C, 2), src_depth (P, C) -> camera points (P, C, 3).
     """
-    P = frames.shape[0]
     dgrid_rows = params.depth_grid.reshape(params.depth_grid.shape[0], -1)[frames]
-    scale = _eval_depth_scale_rows(dgrid_rows, cfg.depth_spec, loc, src_depth)
+    scale = _eval_depth_scale_rows(dgrid_rows, cfg.depth_spec, loc, src_depth, dW)
     depth = src_depth * scale
 
     sgrid_rows = params.spatial_grid.reshape(
         params.spatial_grid.shape[0], -1, 2
     )[frames]
-    warp = _eval_warp_rows(sgrid_rows, cfg.spatial_spec, loc)
+    warp = _eval_warp_rows(sgrid_rows, cfg.spatial_spec, loc, sW)
     return jnp.concatenate([loc + warp, depth[..., None]], axis=-1)
 
 
@@ -209,17 +267,22 @@ def world_to_camera(point_world, fx, fy, pose):
 
 
 def static_scene_residuals(
-    params: SolverParams, cfg: SceneConfig, data: ConstraintData
+    params: SolverParams, cfg: SceneConfig, data: ConstraintData, taps=None
 ) -> jnp.ndarray:
     """StaticSceneCost over all pair constraints -> (P, C, 3) raw residuals
     (reference lib/PoseOptimizer.cpp:223-319). Weights NOT applied here —
-    the LM driver combines `data.weight` with IRLS robustification."""
+    the LM driver combines `data.weight` with IRLS robustification.
+    `taps`: optional DenseTaps turning interpolation into MXU einsums."""
     fi, fj = data.pair[:, 0], data.pair[:, 1]
     fx0, fy0 = _focal_xy(params, cfg, fi)
     fx1, fy1 = _focal_xy(params, cfg, fj)
 
-    p0 = observation_to_camera(params, cfg, fi, data.loc0, data.depth0)
-    p1 = observation_to_camera(params, cfg, fj, data.loc1, data.depth1)
+    dW0 = taps.d0 if taps is not None else None
+    dW1 = taps.d1 if taps is not None else None
+    sW0 = taps.s0 if taps is not None else None
+    sW1 = taps.s1 if taps is not None else None
+    p0 = observation_to_camera(params, cfg, fi, data.loc0, data.depth0, dW0, sW0)
+    p1 = observation_to_camera(params, cfg, fj, data.loc1, data.depth1, dW1, sW1)
 
     pose0 = params.pose[fi]
     pose1 = params.pose[fj]
@@ -304,6 +367,7 @@ def scale_reg_residuals(
     cfg: SceneConfig,
     median_depth: jnp.ndarray,
     grid_locs: jnp.ndarray,
+    W=None,
 ) -> jnp.ndarray:
     """TargetDisparityCost on a per-frame grid of sample points -> (N, G)
     (reference lib/PoseOptimizer.cpp:488-517, 1341-1415). Pins the
@@ -316,7 +380,10 @@ def scale_reg_residuals(
     locs = jnp.broadcast_to(grid_locs[None], (N, G, 2))
     med = jnp.broadcast_to(median_depth[:, None], (N, G))
     rows = params.depth_grid.reshape(N, -1)
-    scale = _eval_depth_scale_rows(rows, cfg.depth_spec, locs, med)
+    if W is not None:
+        scale = jnp.einsum("ngk,nk->ng", W, rows, precision=_HI)
+    else:
+        scale = _eval_depth_scale_rows(rows, cfg.depth_spec, locs, med)
     depth = med * scale
     return 1.0 / jnp.maximum(depth, _EPS) - 1.0
 
@@ -350,6 +417,7 @@ class StageAux(NamedTuple):
     scale_grid_locs: jnp.ndarray
     triplets: TripletData | None = None
     adaptive_weights: jnp.ndarray | None = None
+    taps: DenseTaps | None = None
 
 
 def build_residual_fn(
@@ -374,7 +442,7 @@ def build_residual_fn(
     def fn(params: SolverParams, irls_weight: jnp.ndarray, aux: StageAux) -> jnp.ndarray:
         parts = []
 
-        r_static = static_scene_residuals(params, cfg, aux.data)
+        r_static = static_scene_residuals(params, cfg, aux.data, aux.taps)
         w = (aux.data.weight * irls_weight)[..., None]
         parts.append((r_static * w).reshape(-1))
 
@@ -386,7 +454,8 @@ def build_residual_fn(
 
         if sqrt_scale_reg > 0.0 and not opt.fix_depth_transforms:
             r_scale = scale_reg_residuals(
-                params, cfg, aux.median_depth, aux.scale_grid_locs
+                params, cfg, aux.median_depth, aux.scale_grid_locs,
+                aux.taps.scale_reg if aux.taps is not None else None,
             )
             parts.append((r_scale * sqrt_scale_reg).reshape(-1))
 

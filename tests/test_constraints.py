@@ -89,9 +89,10 @@ def test_static_flags_and_flatten():
 
     depth = np.full((2, h, w), 2.0, np.float32)
     data = C.flatten_pairs([(0, 1)], pairs, depth, inv_aspect)
-    assert data.pair.shape == (1, 2) and data.loc0.shape == (1, 2, 2)
-    np.testing.assert_allclose(np.asarray(data.weight[0]), [1.0, 0.0])
-    np.testing.assert_allclose(np.asarray(data.depth0[0]), [2.0, 1.0])  # masked -> placeholder
+    # padded to the TPU lane width (128 samples per pair)
+    assert data.pair.shape == (1, 2) and data.loc0.shape == (1, 128, 2)
+    np.testing.assert_allclose(np.asarray(data.weight[0, :3]), [1.0, 0.0, 0.0])
+    np.testing.assert_allclose(np.asarray(data.depth0[0, :2]), [2.0, 1.0])  # masked -> placeholder
     # NDC conversion
     np.testing.assert_allclose(np.asarray(data.loc0[0, 0]), [-0.5, 0.5], atol=1e-6)
 

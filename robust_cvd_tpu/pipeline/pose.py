@@ -83,7 +83,14 @@ class PoseOptimizer:
                 pair_keys, pairs, triplet_keys, triplets, dyn_dist,
                 min_dynamic_distance=8.0,
             )
-        # "Ransac" mode (epipolar-distance flags) is not yet implemented;
+        elif self.cfg.opt.dynamic_constraints == "Ransac":
+            from ..ops.epipolar import set_static_flags_from_ransac
+
+            h, w = down.shape[1:3]
+            set_static_flags_from_ransac(
+                pair_keys, pairs, (h, w), inv_aspect,
+                self.cfg.opt.epipolar_dist_thresh,
+            )
         # "None" leaves everything static.
 
         self.pair_keys = pair_keys

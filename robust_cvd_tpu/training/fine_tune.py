@@ -283,6 +283,16 @@ class FineTuner:
         self.opt_state = self.optimizer.init(self.params)
         self.solver_params: Optional[SolverParams] = None
         self.history: List[Dict] = []
+        self.writer = None
+        if cfg.ft.save_tensorboard and (cfg.ft.tensorboard_log_path or cfg.ft.log_dir):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.writer = SummaryWriter(
+                    cfg.ft.tensorboard_log_path or cfg.ft.log_dir
+                )
+            except Exception:
+                self.writer = None
 
     def optimize_poses(self):
         self.solver_params = pose_opt.run(
@@ -304,18 +314,29 @@ class FineTuner:
             t0 = time.perf_counter()
             order = self.rng.permutation(P)
             epoch_losses = []
+            last_parts = {}
             for s in range(0, P - B + 1, B):
                 ids = jnp.asarray(order[s : s + B], jnp.int32)
-                (self.params, self.batch_stats, self.opt_state, loss, _parts
+                (self.params, self.batch_stats, self.opt_state, loss, parts
                  ) = self.step_fn(
                     self.params, self.batch_stats, self.opt_state, ids,
                     self.clip, self.pose_state, self.params_init,
                 )
                 epoch_losses.append(loss)
+                last_parts = parts
             mean_loss = float(jnp.mean(jnp.stack(epoch_losses)))
             self.history.append(
                 {"epoch": epoch, "loss": mean_loss, "sec": time.perf_counter() - t0}
             )
+            if self.writer is not None:
+                # scalar logging matches the reference's TB layout
+                # (depth_fine_tuning.py:120-191)
+                self.writer.add_scalar("Train/loss", mean_loss, epoch)
+                for k, v in last_parts.items():
+                    arr = np.asarray(v)
+                    self.writer.add_scalar(f"Train/{k}/mean", float(arr.mean()), epoch)
+                    self.writer.add_scalar(f"Train/{k}/max", float(arr.max()), epoch)
+                    self.writer.add_scalar(f"Train/{k}/min", float(arr.min()), epoch)
 
             if (epoch + 1) % max(1, self.cfg.ft.pose_opt_freq) == 0:
                 self.refresh_depth()

@@ -109,6 +109,9 @@ class DatasetProcessor:
 
         pose = PoseOptimizer(cfg, store, f"depth_{cfg.model_type}")
         flow_list = store.load_flow_list()
+        for (i, j, _r) in flow_list:
+            store.load_flow(i, j)
+            store.load_flow_mask(i, j)
         use_temporal = (
             cfg.loss.lambda_smooth_disparity > 0
             or cfg.loss.lambda_smooth_reprojection > 0

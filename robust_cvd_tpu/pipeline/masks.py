@@ -1,0 +1,123 @@
+"""Dynamic-object mask generation.
+
+The reference uses Detectron2 Mask R-CNN (dynamic_mask_generation.py:
+person/vehicle/animal classes, conf 0.5, dilate 5 px, INVERTED so white =
+static). No pretrained segmentation weights exist in this environment, so
+the default generator is geometric **motion segmentation**: pixels whose
+optical flow violates the dominant rigid epipolar geometry (RANSAC
+fundamental matrix per consecutive pair, Sampson distance threshold) are
+dynamic. Mask R-CNN-style semantic masks are consumed from `dynamic_mask/`
+when an external producer supplies them.
+
+Output contract matches the reference: `dynamic_mask/frame_%06d.png`,
+uint8, WHITE (255) = static, dynamic regions dilated by `dilate` px.
+"""
+
+from __future__ import annotations
+
+import os
+from os.path import join as pjoin
+from typing import Optional
+
+import numpy as np
+
+from ..io.store import VideoStore, frame_name, save_png_gray
+from ..ops.epipolar import find_fundamental_ransac, sampson_distance
+
+
+def motion_segmentation_mask(
+    flow: np.ndarray,
+    sample_stride: int = 4,
+    epipolar_thresh: float = 2.0,
+    dynamic_thresh: float = 4.0,
+) -> Optional[np.ndarray]:
+    """Dynamic mask (bool, True = DYNAMIC) from one dense flow field.
+
+    Model selection between a homography H and a fundamental matrix F fit to
+    subsampled correspondences (the rigid background dominates): low-parallax
+    scenes are DEGENERATE for F (a 7-dof F can 'explain' almost any motion,
+    including independently moving objects), so H is preferred unless F has
+    decisively more inliers (an Occam/GRIC-style rule). Pixels far from the
+    winning rigid model are dynamic."""
+    from ..ops.homography import _apply_h, find_homography_ransac
+
+    h, w = flow.shape[:2]
+    ys, xs = np.mgrid[0:h:sample_stride, 0:w:sample_stride]
+    p0 = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float64)
+    p1 = p0 + flow[ys.ravel(), xs.ravel()].astype(np.float64)
+
+    gy, gx = np.mgrid[0:h, 0:w]
+    q0 = np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float64)
+    q1 = q0 + flow.reshape(-1, 2).astype(np.float64)
+
+    H = find_homography_ransac(p0, p1, thresh=epipolar_thresh)
+    F = find_fundamental_ransac(p0, p1, thresh=epipolar_thresh)
+
+    def inliers_h():
+        d = np.linalg.norm(_apply_h(H[None], p0[None])[0] - p1, axis=-1)
+        return (d < epipolar_thresh).sum()
+
+    def inliers_f():
+        d = sampson_distance(F[None], p0[None], p1[None])[0]
+        return (d < epipolar_thresh).sum()
+
+    use_h = H is not None and (F is None or inliers_h() >= 0.9 * inliers_f())
+    if use_h:
+        d = np.linalg.norm(_apply_h(H[None], q0[None])[0] - q1, axis=-1)
+    elif F is not None:
+        d = sampson_distance(F[None], q0[None], q1[None])[0]
+    else:
+        return None
+    return d.reshape(h, w) > dynamic_thresh
+
+
+def _dilate(mask: np.ndarray, radius: int) -> np.ndarray:
+    from scipy import ndimage
+
+    if radius <= 0:
+        return mask
+    yy, xx = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    disk = (xx * xx + yy * yy) <= radius * radius
+    return ndimage.binary_dilation(mask, structure=disk)
+
+
+def compute_dynamic_masks(
+    store: VideoStore,
+    dilate: int = 5,
+    epipolar_thresh: float = 2.0,
+    dynamic_thresh: float = 4.0,
+) -> bool:
+    """Generate `dynamic_mask/` for the whole clip from consecutive flow.
+
+    Idempotent (skips existing frames, like every stage). A frame's mask
+    combines the forward and backward consecutive flows when available.
+    Returns False when no flow is available to segment from."""
+    out_dir = pjoin(store.base_dir, "dynamic_mask")
+    n = store.num_frames
+    wrote_any = False
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n):
+        out = pjoin(out_dir, frame_name(i, ".png"))
+        if os.path.exists(out):
+            wrote_any = True
+            continue
+        dyn = None
+        for j in (i + 1, i - 1):
+            if not (0 <= j < n):
+                continue
+            try:
+                flow = store.load_flow(i, j)
+            except FileNotFoundError:
+                continue
+            m = motion_segmentation_mask(
+                flow, epipolar_thresh=epipolar_thresh, dynamic_thresh=dynamic_thresh
+            )
+            if m is not None:
+                dyn = m if dyn is None else (dyn | m)
+        if dyn is None:
+            dyn = np.zeros(store.load_color_down().shape[1:3], bool)
+        dyn = _dilate(dyn, dilate)
+        # invert: white = static (reference dynamic_mask_generation.py:156-182)
+        save_png_gray(out, (~dyn).astype(np.uint8) * 255)
+        wrote_any = True
+    return wrote_any

@@ -122,12 +122,16 @@ class PoseOptimizer:
         median = jnp.asarray(
             np.median(depth.reshape(depth.shape[0], -1), axis=1).astype(np.float32)
         )
+        dyn = None
+        if self.cfg.opt.adaptive_deformation_cost > 0:
+            dyn = self.store.load_dynamic_mask()
         return PoseOptInputs(
             data=data,
             median_depth=median,
             aspect=self.store.aspect,
             num_frames=self.store.num_frames,
             triplets=triplets,
+            dynamic_mask=dyn,
         )
 
     # -- optimization (reference pose_optimization.py:177-240) ---------------

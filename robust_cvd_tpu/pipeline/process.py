@@ -92,9 +92,17 @@ class DatasetProcessor:
         flow_stage.compute_flow_masks(index_pairs)
         flow_stage.compute_flow_pair_stats(index_pairs)
 
-        # dynamic masks: consumed from dynamic_mask/ when present (the
-        # reference spawns detectron2 Mask R-CNN here, process.py:147-165;
-        # segmentation-model port is tracked for a later round)
+        # dynamic masks (reference spawns detectron2 Mask R-CNN here,
+        # process.py:147-165). Without pretrained segmentation weights the
+        # generator is geometric motion segmentation from the flow
+        # (pipeline/masks.py); external dynamic_mask/ dirs take precedence.
+        if cfg.opt.dynamic_constraints == "Mask":
+            from .masks import compute_dynamic_masks
+
+            try:
+                compute_dynamic_masks(store)
+            except Exception as e:  # mask failures do not abort the pipeline
+                print(f"dynamic mask generation failed ({e}); continuing")
 
         self.fine_tune(store, depth)
         return store

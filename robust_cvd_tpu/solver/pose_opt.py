@@ -44,6 +44,9 @@ class PoseOptInputs(NamedTuple):
     aspect: float
     num_frames: int
     triplets: TripletData | None = None
+    # (N, h, w) dynamic masks (white/True = static) for
+    # AdaptiveDeformationCost (reference lib/PoseOptimizer.cpp:559-656)
+    dynamic_mask: object = None
 
 
 def scale_reg_grid_locs(opt: PoseOptParams, aspect: float) -> jnp.ndarray:
@@ -130,9 +133,13 @@ def _normalize_res_fn(cfg: SceneConfig, sqrt_scale: float, deform_w: float):
 
 
 @lru_cache(maxsize=None)
-def _stage_res_fn(cfg: SceneConfig, opt: PoseOptParams, deform_w: float, use_triplets: bool):
+def _stage_res_fn(
+    cfg: SceneConfig, opt: PoseOptParams, deform_w: float,
+    use_triplets: bool, use_adaptive: bool = False,
+):
     return residuals.build_residual_fn(
-        cfg, opt, depth_deform_weight=deform_w, use_triplets=use_triplets
+        cfg, opt, depth_deform_weight=deform_w,
+        use_triplets=use_triplets, use_adaptive=use_adaptive,
     )
 
 
@@ -173,16 +180,30 @@ def _aux(
 ) -> StageAux:
     locs = scale_reg_grid_locs(opt, inputs.aspect)
     taps = None
+    adaptive = None
     if cfg is not None:
         taps = residuals.build_dense_taps(
             cfg, inputs.data, inputs.median_depth, locs
         )
+        if (
+            opt.adaptive_deformation_cost > 0.0
+            and inputs.dynamic_mask is not None
+        ):
+            # store the adaptive TERM only (w_edge * adaptiveCost); the
+            # residual fn adds the stage's depth_deform_weight as the base
+            # (reference multiplier: baseWeight + w * adaptiveWeight)
+            adaptive = xforms.adaptive_deform_weights(
+                inputs.dynamic_mask, cfg.depth_spec,
+                base_weight=0.0,
+                adaptive_weight=opt.adaptive_deformation_cost,
+            )
     return StageAux(
         data=inputs.data,
         median_depth=inputs.median_depth,
         scale_grid_locs=locs,
         triplets=inputs.triplets if use_triplets else None,
         taps=taps,
+        adaptive_weights=adaptive,
     )
 
 
@@ -233,8 +254,11 @@ def _solve_step(
     use_smooth = (
         opt.smooth_static_weight > 0.0 or opt.smooth_dynamic_weight > 0.0
     ) and inputs.triplets is not None
+    use_adaptive = (
+        opt.adaptive_deformation_cost > 0.0 and inputs.dynamic_mask is not None
+    )
 
-    res_fn = _stage_res_fn(cfg, opt, depth_deform_weight, use_smooth)
+    res_fn = _stage_res_fn(cfg, opt, depth_deform_weight, use_smooth, use_adaptive)
     robust_fn = _robust_fn(cfg)
 
     fix_spatial = opt.fix_spatial_transforms or (

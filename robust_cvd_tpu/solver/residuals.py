@@ -462,7 +462,9 @@ def build_residual_fn(
         if depth_deform_weight > 0.0:
             r_def = xforms.depth_deform_residuals(params.depth_grid)
             if use_adaptive:
-                r_def = r_def * aux.adaptive_weights
+                # reference multiplier: baseWeight + w_edge * adaptiveWeight
+                # (lib/PoseOptimizer.cpp:631-646)
+                r_def = r_def * (depth_deform_weight + aux.adaptive_weights)
             else:
                 r_def = r_def * depth_deform_weight
             parts.append(r_def.reshape(-1))

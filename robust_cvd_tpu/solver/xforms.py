@@ -260,6 +260,73 @@ def depth_deform_residuals(grid: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([p.reshape(batch + (-1,)) for p in parts], axis=-1)
 
 
+def adaptive_deform_weights(
+    dynamic_mask: "np.ndarray",
+    spec: GridSpec,
+    base_weight: float,
+    adaptive_weight: float,
+) -> jnp.ndarray:
+    """Per-edge deformation-cost multipliers from dynamic masks
+    (reference AdaptiveDeformationCost, lib/PoseOptimizer.cpp:559-656):
+    each grid handle accumulates bilinear mass from dynamic (mask < 127 —
+    white is static) vs static pixels; handle weight = dyn / (dyn + static);
+    an x/y edge is scaled by base + max(w_a, w_b) * adaptive, a z edge by
+    base + w * adaptive. Edge order matches depth_deform_residuals
+    (x-edges, then y-edges, then z-edges).
+
+    dynamic_mask: (N, h, w) uint8/bool. Returns (N, E) float32.
+    """
+    mask = np.asarray(dynamic_mask)
+    if mask.dtype != bool:
+        mask = mask >= 127  # True = static
+    N, dh, dw = mask.shape
+    gx, gy, gz = spec.gx, spec.gy, spec.gz
+
+    ys = np.arange(dh) * (gy - 1) / dh if gy > 1 else np.zeros(dh)
+    xs = np.arange(dw) * (gx - 1) / dw if gx > 1 else np.zeros(dw)
+    iy = np.minimum(ys.astype(int), max(gy - 2, 0))
+    ix = np.minimum(xs.astype(int), max(gx - 2, 0))
+    ry = (ys - iy)[:, None]
+    rx = (xs - ix)[None, :]
+
+    IY = np.broadcast_to(iy[:, None], (dh, dw))
+    IX = np.broadcast_to(ix[None, :], (dh, dw))
+    corners = [
+        (IY, IX, (1 - rx) * (1 - ry)),
+        (IY, np.minimum(IX + 1, gx - 1), rx * (1 - ry)),
+        (np.minimum(IY + 1, gy - 1), IX, (1 - rx) * ry),
+        (np.minimum(IY + 1, gy - 1), np.minimum(IX + 1, gx - 1), rx * ry),
+    ]
+
+    out = np.empty((N, 0), np.float32)
+    weights = np.zeros((N, gy, gx), np.float64)
+    for n in range(N):
+        dyn = np.zeros((gy, gx))
+        sta = np.zeros((gy, gx))
+        is_static = mask[n]
+        for (cy, cx, w) in corners:
+            wm = np.broadcast_to(w, (dh, dw))
+            flat = cy.ravel() * gx + cx.ravel()
+            np.add.at(sta.ravel(), flat[is_static.ravel()], wm.ravel()[is_static.ravel()])
+            np.add.at(dyn.ravel(), flat[~is_static.ravel()], wm.ravel()[~is_static.ravel()])
+        weights[n] = dyn / np.maximum(dyn + sta, 1e-12)
+
+    parts = []
+    w3 = np.broadcast_to(weights[:, None], (N, gz, gy, gx))
+    if gx > 1:
+        ew = base_weight + np.maximum(w3[..., 1:], w3[..., :-1]) * adaptive_weight
+        parts.append(ew.reshape(N, -1))
+    if gy > 1:
+        ew = base_weight + np.maximum(w3[:, :, 1:], w3[:, :, :-1]) * adaptive_weight
+        parts.append(ew.reshape(N, -1))
+    if gz > 1:
+        ew = base_weight + w3[:, 1:] * adaptive_weight
+        parts.append(ew.reshape(N, -1))
+    if parts:
+        out = np.concatenate(parts, axis=1).astype(np.float32)
+    return jnp.asarray(out)
+
+
 def spatial_deform_residuals(grid: jnp.ndarray) -> jnp.ndarray:
     """Spatial deformation cost = the warp handles themselves
     (reference paramsToResiduals, .cpp:59-70). grid: (..., gy, gx, 2)."""

@@ -268,7 +268,9 @@ class FineTuner:
         self.rng = np.random.default_rng(seed)
 
         lr = cfg.ft.learning_rate if cfg.ft.learning_rate > 0 else adapter.learning_rate
-        self.optimizer = optax.adam(lr)
+        # optimizer registry (reference optimizer/__init__.py: {Adam, RAdam})
+        makers = {"adam": optax.adam, "radam": optax.radam}
+        self.optimizer = makers[cfg.ft.optimizer.lower()](lr)
         self.use_temporal = (
             cfg.loss.lambda_smooth_disparity > 0
             or cfg.loss.lambda_smooth_reprojection > 0

@@ -1,0 +1,42 @@
+import numpy as np
+import os
+from os.path import join as pjoin
+
+from robust_cvd_tpu.io.frames import save_frames_txt
+from robust_cvd_tpu.io.store import VideoStore, load_png_gray
+from robust_cvd_tpu.pipeline.masks import compute_dynamic_masks, motion_segmentation_mask
+
+
+def test_motion_segmentation_flags_moving_object():
+    h, w = 64, 96
+    # rigid background: uniform flow (camera pan); moving object: extra
+    # vertical motion in a box
+    flow = np.zeros((h, w, 2), np.float32)
+    flow[..., 0] = 3.0
+    flow[20:36, 30:50, 1] += 8.0
+    dyn = motion_segmentation_mask(flow, sample_stride=4, dynamic_thresh=3.0)
+    assert dyn is not None
+    assert dyn[24:32, 34:46].mean() > 0.8  # object flagged
+    assert dyn[:10, :10].mean() < 0.1  # background static
+
+
+def test_compute_dynamic_masks_writes_contract(tmp_path):
+    base = str(tmp_path)
+    h, w = 48, 64
+    os.makedirs(pjoin(base, "color_full"))
+    save_frames_txt(pjoin(base, "frames.txt"), w, h, [0.0, 1 / 30])
+    store = VideoStore.open(base)
+    store.color_down = np.zeros((2, h, w, 3), np.float32)
+    flow = np.zeros((h, w, 2), np.float32)
+    flow[..., 0] = 2.0
+    flow[10:20, 10:20, 1] += 9.0
+    store.save_flow(0, 1, flow)
+    store.save_flow(1, 0, -flow)
+    assert compute_dynamic_masks(store, dilate=2)
+    m0 = load_png_gray(pjoin(base, "dynamic_mask", "frame_000000.png"))
+    assert m0.shape == (h, w)
+    # white = static; the moving box is dark
+    assert m0[14, 14] == 0
+    assert m0[40, 40] == 255
+    # idempotent
+    assert compute_dynamic_masks(store)

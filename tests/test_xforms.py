@@ -137,3 +137,22 @@ def test_apply_depth_grid():
     depth = jnp.ones((4, 4)) * 3.0
     out = xforms.apply_depth_grid(grid[0].reshape(1, 2, 2), spec, depth)
     np.testing.assert_allclose(np.asarray(out), 6.0, atol=1e-6)
+
+
+def test_adaptive_deform_weights():
+    import numpy as onp
+
+    # dynamic object fills the left half of a 8x12 mask (white=static)
+    mask = onp.full((1, 8, 12), 255, onp.uint8)
+    mask[:, :, :6] = 0
+    spec = GridSpec(gx=3, gy=2, gz=1)
+    w = xforms.adaptive_deform_weights(mask, spec, base_weight=0.0, adaptive_weight=2.0)
+    E = (3 - 1) * 2 * 1 + 3 * (2 - 1) * 1  # x-edges + y-edges
+    assert w.shape == (1, E)
+    w = onp.asarray(w).reshape(-1)
+    # x-edges come first: edge between handles (col0,col1) spans the dynamic
+    # half -> large weight; edge (col1,col2) is mostly static -> small
+    x_edges = w[:4].reshape(2, 2)
+    assert x_edges[0, 0] > x_edges[0, 1]
+    assert x_edges[0, 0] > 1.0  # dynamic fraction near 1 * adaptive 2
+    assert w.min() >= 0.0 and w.max() <= 2.0

@@ -32,10 +32,12 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def instance_norm(x, eps=1e-5):
-    """nn.InstanceNorm2d(affine=False): per-sample, per-channel over H, W."""
-    mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
-    var = jnp.var(x, axis=(-3, -2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    """nn.InstanceNorm2d(affine=False): per-sample, per-channel over H, W.
+    Statistics in f32 regardless of the compute dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
+    var = jnp.var(xf, axis=(-3, -2), keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 class _Norm(nn.Module):
@@ -49,7 +51,8 @@ class _Norm(nn.Module):
             return instance_norm(x)
         if self.kind == "batch":
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=x.dtype, name="bn",
             )(x)
         return x
 
@@ -60,20 +63,22 @@ class ResidualBlock(nn.Module):
     planes: int
     norm: str
     stride: int = 1
+    dtype: type = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         y = nn.Conv(
             self.planes, (3, 3), strides=(self.stride, self.stride),
-            padding=((1, 1), (1, 1)), name="conv1",
+            padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1",
         )(x)
         y = nn.relu(_Norm(self.norm, name="norm1")(y, train))
-        y = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(y)
+        y = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv2")(y)
         y = nn.relu(_Norm(self.norm, name="norm2")(y, train))
         if self.stride != 1:
             x = nn.Conv(
                 self.planes, (1, 1), strides=(self.stride, self.stride),
-                name="downsample_conv",
+                dtype=self.dtype, name="downsample_conv",
             )(x)
             x = _Norm(self.norm, name="norm3")(x, train)
         return nn.relu(x + y)
@@ -85,17 +90,22 @@ class BasicEncoder(nn.Module):
 
     output_dim: int = 256
     norm: str = "instance"
+    dtype: type = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
         y = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), name="conv1"
+            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            dtype=self.dtype, name="conv1",
         )(x)
         y = nn.relu(_Norm(self.norm, name="norm1")(y, train))
         for i, (dim, stride) in enumerate(((64, 1), (96, 2), (128, 2)), start=1):
-            y = ResidualBlock(dim, self.norm, stride, name=f"layer{i}_0")(y, train)
-            y = ResidualBlock(dim, self.norm, 1, name=f"layer{i}_1")(y, train)
-        return nn.Conv(self.output_dim, (1, 1), name="conv2")(y)
+            y = ResidualBlock(dim, self.norm, stride, dtype=self.dtype,
+                              name=f"layer{i}_0")(y, train)
+            y = ResidualBlock(dim, self.norm, 1, dtype=self.dtype,
+                              name=f"layer{i}_1")(y, train)
+        return nn.Conv(self.output_dim, (1, 1), dtype=self.dtype, name="conv2")(y)
 
 
 def build_corr_pyramid(fmap1, fmap2, num_levels=4):
@@ -103,12 +113,18 @@ def build_corr_pyramid(fmap1, fmap2, num_levels=4):
 
     fmap1/fmap2: (B, H, W, D). Returns list of (B, H, W, H/2^i, W/2^i)."""
     B, H, W, D = fmap1.shape
+    # bf16 feature maps use the native MXU path with f32 accumulation;
+    # f32 inputs request full precision (the default would silently drop
+    # to bf16 passes on this backend).
+    prec = None if fmap1.dtype == jnp.bfloat16 else _HI
     corr = jnp.einsum(
         "bxd,byd->bxy",
         fmap1.reshape(B, H * W, D),
         fmap2.reshape(B, H * W, D),
-        precision=_HI,
+        precision=prec,
+        preferred_element_type=jnp.float32,
     ) / jnp.sqrt(jnp.float32(D))
+    corr = corr.astype(jnp.float32)
     corr = corr.reshape(B, H, W, H, W)
     pyramid = [corr]
     for _ in range(num_levels - 1):
@@ -171,14 +187,18 @@ def lookup_corr(pyramid, coords, radius=4):
 class BasicMotionEncoder(nn.Module):
     """reference update.py:97-116."""
 
+    dtype: type = jnp.bfloat16
+
     @nn.compact
     def __call__(self, flow, corr):
-        c = nn.relu(nn.Conv(256, (1, 1), name="convc1")(corr))
-        c = nn.relu(nn.Conv(192, (3, 3), padding=((1, 1), (1, 1)), name="convc2")(c))
-        f = nn.relu(nn.Conv(128, (7, 7), padding=((3, 3), (3, 3)), name="convf1")(flow))
-        f = nn.relu(nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), name="convf2")(f))
+        flow = flow.astype(self.dtype)
+        corr = corr.astype(self.dtype)
+        c = nn.relu(nn.Conv(256, (1, 1), dtype=self.dtype, name="convc1")(corr))
+        c = nn.relu(nn.Conv(192, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="convc2")(c))
+        f = nn.relu(nn.Conv(128, (7, 7), padding=((3, 3), (3, 3)), dtype=self.dtype, name="convf1")(flow))
+        f = nn.relu(nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="convf2")(f))
         out = nn.relu(
-            nn.Conv(126, (3, 3), padding=((1, 1), (1, 1)), name="conv")(
+            nn.Conv(126, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv")(
                 jnp.concatenate([c, f], axis=-1)
             )
         )
@@ -189,15 +209,19 @@ class SepConvGRU(nn.Module):
     """reference update.py:37-77: horizontal 1x5 then vertical 5x1 GRU."""
 
     hidden: int = 128
+    dtype: type = jnp.bfloat16
 
     @nn.compact
     def __call__(self, h, x):
+        h = h.astype(self.dtype)
+        x = x.astype(self.dtype)
+
         def gru(h, x, ksize, pad, suffix):
             hx = jnp.concatenate([h, x], axis=-1)
-            z = nn.sigmoid(nn.Conv(self.hidden, ksize, padding=pad, name=f"convz{suffix}")(hx))
-            r = nn.sigmoid(nn.Conv(self.hidden, ksize, padding=pad, name=f"convr{suffix}")(hx))
+            z = nn.sigmoid(nn.Conv(self.hidden, ksize, padding=pad, dtype=self.dtype, name=f"convz{suffix}")(hx))
+            r = nn.sigmoid(nn.Conv(self.hidden, ksize, padding=pad, dtype=self.dtype, name=f"convr{suffix}")(hx))
             q = nn.tanh(
-                nn.Conv(self.hidden, ksize, padding=pad, name=f"convq{suffix}")(
+                nn.Conv(self.hidden, ksize, padding=pad, dtype=self.dtype, name=f"convq{suffix}")(
                     jnp.concatenate([r * h, x], axis=-1)
                 )
             )
@@ -209,24 +233,28 @@ class SepConvGRU(nn.Module):
 
 
 class FlowHead(nn.Module):
+    dtype: type = jnp.bfloat16
+
     @nn.compact
     def __call__(self, x):
-        y = nn.relu(nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), name="conv1")(x))
-        return nn.Conv(2, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(y)
+        y = nn.relu(nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(x))
+        return nn.Conv(2, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(y).astype(jnp.float32)
 
 
 class BasicUpdateBlock(nn.Module):
     """reference update.py:137-156."""
 
+    dtype: type = jnp.bfloat16
+
     @nn.compact
     def __call__(self, net, inp, corr, flow):
-        motion = BasicMotionEncoder(name="encoder")(flow, corr)
-        x = jnp.concatenate([inp, motion], axis=-1)
-        net = SepConvGRU(name="gru")(net, x)
-        delta = FlowHead(name="flow_head")(net)
-        m = nn.relu(nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), name="mask_conv1")(net))
-        mask = 0.25 * nn.Conv(64 * 9, (1, 1), name="mask_conv2")(m)
-        return net, mask, delta
+        motion = BasicMotionEncoder(dtype=self.dtype, name="encoder")(flow, corr)
+        x = jnp.concatenate([inp.astype(self.dtype), motion], axis=-1)
+        net = SepConvGRU(dtype=self.dtype, name="gru")(net, x)
+        delta = FlowHead(dtype=self.dtype, name="flow_head")(net)
+        m = nn.relu(nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="mask_conv1")(net))
+        mask = 0.25 * nn.Conv(64 * 9, (1, 1), dtype=self.dtype, name="mask_conv2")(m)
+        return net, mask.astype(jnp.float32), delta
 
 
 def upsample_flow_convex(flow, mask):

@@ -166,19 +166,24 @@ def lookup_corr(pyramid, coords, radius=4):
 
         rows = (y0[..., None] + k).astype(jnp.int32)  # (B, Q, K)
         cols = (x0[..., None] + k).astype(jnp.int32)
-        # one_hot of out-of-range indices is all-zero -> zero padding
+        # one_hot of out-of-range indices is all-zero -> zero padding.
+        # Selectors/matmuls run in bf16 (native MXU; the bilinear fractions
+        # and corr features tolerate it), accumulation in f32.
         R = (
-            jax.nn.one_hot(rows, h2, dtype=corr.dtype) * (1.0 - ry)
-            + jax.nn.one_hot(rows + 1, h2, dtype=corr.dtype) * ry
+            jax.nn.one_hot(rows, h2, dtype=jnp.bfloat16) * (1.0 - ry).astype(jnp.bfloat16)
+            + jax.nn.one_hot(rows + 1, h2, dtype=jnp.bfloat16) * ry.astype(jnp.bfloat16)
         )  # (B, Q, K, h2)
         C = (
-            jax.nn.one_hot(cols, w2, dtype=corr.dtype) * (1.0 - rx)
-            + jax.nn.one_hot(cols + 1, w2, dtype=corr.dtype) * rx
+            jax.nn.one_hot(cols, w2, dtype=jnp.bfloat16) * (1.0 - rx).astype(jnp.bfloat16)
+            + jax.nn.one_hot(cols + 1, w2, dtype=jnp.bfloat16) * rx.astype(jnp.bfloat16)
         )  # (B, Q, K, w2)
 
-        corr_q = corr.reshape(B, Q, h2, w2)
+        corr_q = corr.reshape(B, Q, h2, w2).astype(jnp.bfloat16)
+        rowed = jnp.einsum(
+            "bqrh,bqhw->bqrw", R, corr_q, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)
         win = jnp.einsum(
-            "bqrh,bqhw,bqcw->bqrc", R, corr_q, C, precision=_HI
+            "bqrw,bqcw->bqrc", rowed, C, preferred_element_type=jnp.float32
         )
         out.append(win.reshape(B, H, W, K * K))
     return jnp.concatenate(out, axis=-1)
@@ -280,6 +285,24 @@ def upsample_flow_convex(flow, mask):
     return up.transpose(0, 1, 3, 2, 4, 5).reshape(B, 8 * h, 8 * w, 2)
 
 
+class _IterBody(nn.Module):
+    """One RAFT refinement iteration as a scanned body: correlation lookup
+    + motion encoder + SepConvGRU + flow head. Scanning compiles the body
+    ONCE instead of unrolling 20 copies (20x smaller program; measured a
+    large end-to-end win on this backend)."""
+
+    corr_radius: int = 4
+
+    @nn.compact
+    def __call__(self, carry, _xs):
+        net, coords1, coords0, inp, pyramid = carry
+        coords1 = jax.lax.stop_gradient(coords1)
+        corr = lookup_corr(list(pyramid), coords1, self.corr_radius)
+        flow = coords1 - coords0
+        net, mask, delta = BasicUpdateBlock(name="block")(net, inp, corr, flow)
+        return (net, coords1 + delta, coords0, inp, pyramid), mask
+
+
 class RAFT(nn.Module):
     """Full RAFT: (B, H, W, 3) uint8-range images -> (B, H, W, 2) flow.
 
@@ -316,21 +339,18 @@ class RAFT(nn.Module):
         )
         coords0 = jnp.broadcast_to(jnp.stack([xs, ys], -1), (B, h, w, 2))
 
-        update = BasicUpdateBlock(name="update_block")
-        (net, coords1), mask = self._unrolled(update, pyramid, net, inp, coords0)
+        body = _IterBody(corr_radius=self.corr_radius, name="update_block")
+        scan_body = nn.scan(
+            _IterBody.__call__.__wrapped__
+            if hasattr(_IterBody.__call__, "__wrapped__")
+            else _IterBody.__call__,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=self.iters,
+        )
+        carry = (net, coords0, coords0, inp, tuple(pyramid))
+        (net, coords1, _, _, _), masks = scan_body(body, carry, None)
+        mask = masks[-1]
 
         flow = coords1 - coords0
         return upsample_flow_convex(flow, mask)
-
-    def _unrolled(self, update, pyramid, net, inp, coords0):
-        """Iteration loop. Uses lax.scan-compatible python loop over a
-        static iteration count; XLA sees identical bodies and shares code."""
-        coords1 = coords0
-        mask = None
-        for _ in range(self.iters):
-            coords1 = jax.lax.stop_gradient(coords1)
-            corr = lookup_corr(pyramid, coords1, self.corr_radius)
-            flow = coords1 - coords0
-            net, mask, delta = update(net, inp, corr, flow)
-            coords1 = coords1 + delta
-        return (net, coords1), mask

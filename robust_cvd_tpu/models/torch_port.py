@@ -141,14 +141,17 @@ def convert_raft(sd: Dict) -> Tuple[dict, dict]:
                         put_bn(dst + ("norm3", "bn"), f"{src}.downsample.1")
         put_conv((enc, "conv2"), f"{enc}.conv2")
 
+    # the scanned iteration body nests the update block under
+    # update_block/block (models/raft.py _IterBody)
+    ub = ("update_block", "block")
     for c in ("convc1", "convc2", "convf1", "convf2", "conv"):
-        put_conv(("update_block", "encoder", c), f"update_block.encoder.{c}")
+        put_conv(ub + ("encoder", c), f"update_block.encoder.{c}")
     for c in ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2"):
-        put_conv(("update_block", "gru", c), f"update_block.gru.{c}")
-    put_conv(("update_block", "flow_head", "conv1"), "update_block.flow_head.conv1")
-    put_conv(("update_block", "flow_head", "conv2"), "update_block.flow_head.conv2")
-    put_conv(("update_block", "mask_conv1"), "update_block.mask.0")
-    put_conv(("update_block", "mask_conv2"), "update_block.mask.2")
+        put_conv(ub + ("gru", c), f"update_block.gru.{c}")
+    put_conv(ub + ("flow_head", "conv1"), "update_block.flow_head.conv1")
+    put_conv(ub + ("flow_head", "conv2"), "update_block.flow_head.conv2")
+    put_conv(ub + ("mask_conv1",), "update_block.mask.0")
+    put_conv(ub + ("mask_conv2",), "update_block.mask.2")
 
     return params, stats
 

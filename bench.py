@@ -108,9 +108,10 @@ def main():
     out = fwd(mv["params"], mv["batch_stats"], images[:B])
     jax.block_until_ready(out)  # compile
     t0 = time.perf_counter()
+    acc = 0.0
     for s in range(0, NUM_FRAMES, B):
-        out = fwd(mv["params"], mv["batch_stats"], images[s : s + B])
-    jax.block_until_ready(out)
+        acc = acc + fwd(mv["params"], mv["batch_stats"], images[s : s + B]).sum()
+    float(acc)  # force: unconsumed results can be cancelled on this backend
     detail["midas_initial_depth_s"] = round(time.perf_counter() - t0, 4)
 
     # ---- stage 2: RAFT flow on hierarchical2 pairs -------------------------
@@ -120,16 +121,17 @@ def main():
         jax.random.PRNGKey(1), jnp.zeros((1, H, W, 3)), jnp.zeros((1, H, W, 3))
     )
     rfwd = jax.jit(lambda v, a, b: raft.apply(v, a, b))
-    fb = 4
+    fb = 16
     im = images[:fb] * 255.0
     jax.block_until_ready(rfwd(rv, im, im))  # compile
     t0 = time.perf_counter()
+    acc = 0.0
     for s in range(0, len(pairs), fb):
         chunk = pairs[s : s + fb]
         i_idx = jnp.asarray([c[0] for c in chunk] + [0] * (fb - len(chunk)))
         j_idx = jnp.asarray([c[1] for c in chunk] + [0] * (fb - len(chunk)))
-        flow = rfwd(rv, images[i_idx] * 255.0, images[j_idx] * 255.0)
-    jax.block_until_ready(flow)
+        acc = acc + rfwd(rv, images[i_idx] * 255.0, images[j_idx] * 255.0).sum()
+    float(acc)
     detail["raft_flow_s"] = round(time.perf_counter() - t0, 4)
     detail["num_pairs"] = len(pairs)
 
@@ -177,7 +179,8 @@ def main():
         for s in range(0, P_train - bsz + 1, bsz):
             ids = jnp.asarray(order[s : s + bsz], jnp.int32)
             p, bs, ostate, loss, _ = step(p, bs, ostate, ids, clip, ps, mv["params"])
-        jax.block_until_ready(loss)
+        # the chained (p, bs, ostate) dependencies force every step; sync:
+        float(loss)
         t_train += time.perf_counter() - t1
     detail["pose_opt_total_s"] = round(t_pose, 4)
     detail["fine_tune_total_s"] = round(t_train, 4)

@@ -83,7 +83,7 @@ class FlowStage:
     """Drives flow computation over the sampled pair list."""
 
     def __init__(self, store: VideoStore, raft_model=None, raft_variables=None,
-                 batch_size: int = 4, homography: bool = True):
+                 batch_size: int = 16, homography: bool = True):
         self.store = store
         self.model = raft_model
         self.variables = raft_variables

@@ -40,17 +40,19 @@ class Bottleneck(nn.Module):
     groups: int = 32
     base_width: int = 8
     downsample: bool = False
+    dtype: type = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out_ch = self.planes * 4
         norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
         )
 
         identity = x
-        y = nn.Conv(width, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = norm("bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(
@@ -60,11 +62,12 @@ class Bottleneck(nn.Module):
             padding=((1, 1), (1, 1)),
             feature_group_count=self.groups,
             use_bias=False,
+            dtype=self.dtype,
             name="conv2",
         )(y)
         y = norm("bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
         y = norm("bn3")(y)
 
         if self.downsample:
@@ -73,6 +76,7 @@ class Bottleneck(nn.Module):
                 (1, 1),
                 strides=(self.stride, self.stride),
                 use_bias=False,
+                dtype=self.dtype,
                 name="downsample_conv",
             )(x)
             identity = norm("downsample_bn")(identity)
@@ -85,15 +89,18 @@ class ResNeXt101Features(nn.Module):
     (reference blocks.py:19-33 _make_resnet_backbone)."""
 
     layers: Sequence[int] = (3, 4, 23, 3)
+    dtype: type = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
         y = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-            use_bias=False, name="conv1",
+            use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
         y = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn1",
         )(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -107,6 +114,7 @@ class ResNeXt101Features(nn.Module):
                     planes=p,
                     stride=stride if b == 0 else 1,
                     downsample=(b == 0),
+                    dtype=self.dtype,
                     name=f"layer{stage + 1}_{b}",
                 )(y, train)
             feats.append(y)
@@ -117,13 +125,16 @@ class ResidualConvUnit(nn.Module):
     """reference blocks.py:88-128."""
 
     features: int
+    dtype: type = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         y = nn.relu(x)
-        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), name="conv1")(y)
+        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(y)
+        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv2")(y)
         return y + x
 
 
@@ -132,13 +143,16 @@ class FeatureFusionBlock(nn.Module):
     then 2x bilinear upsample with align_corners=True."""
 
     features: int
+    dtype: type = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, skip=None):
         out = x
         if skip is not None:
-            out = out + ResidualConvUnit(self.features, name="resConfUnit1")(skip)
-        out = ResidualConvUnit(self.features, name="resConfUnit2")(out)
+            out = out + ResidualConvUnit(self.features, dtype=self.dtype,
+                                         name="resConfUnit1")(skip)
+        out = ResidualConvUnit(self.features, dtype=self.dtype,
+                               name="resConfUnit2")(out)
         return upsample2x(out, align_corners=True)
 
 
@@ -148,32 +162,34 @@ class MidasNet(nn.Module):
 
     features: int = 256
     non_negative: bool = True
+    dtype: type = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        l1, l2, l3, l4 = ResNeXt101Features(name="pretrained")(x, train)
+        l1, l2, l3, l4 = ResNeXt101Features(dtype=self.dtype, name="pretrained")(x, train)
 
         rn = lambda ch, name: nn.Conv(
-            self.features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, name=name
+            self.features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+            dtype=self.dtype, name=name,
         )
         l1_rn = rn(256, "layer1_rn")(l1)
         l2_rn = rn(512, "layer2_rn")(l2)
         l3_rn = rn(1024, "layer3_rn")(l3)
         l4_rn = rn(2048, "layer4_rn")(l4)
 
-        p4 = FeatureFusionBlock(self.features, name="refinenet4")(l4_rn)
-        p3 = FeatureFusionBlock(self.features, name="refinenet3")(p4, l3_rn)
-        p2 = FeatureFusionBlock(self.features, name="refinenet2")(p3, l2_rn)
-        p1 = FeatureFusionBlock(self.features, name="refinenet1")(p2, l1_rn)
+        p4 = FeatureFusionBlock(self.features, dtype=self.dtype, name="refinenet4")(l4_rn)
+        p3 = FeatureFusionBlock(self.features, dtype=self.dtype, name="refinenet3")(p4, l3_rn)
+        p2 = FeatureFusionBlock(self.features, dtype=self.dtype, name="refinenet2")(p3, l2_rn)
+        p1 = FeatureFusionBlock(self.features, dtype=self.dtype, name="refinenet1")(p2, l1_rn)
 
-        y = nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)), name="output_conv1")(p1)
+        y = nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="output_conv1")(p1)
         y = upsample2x(y, align_corners=False)
-        y = nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), name="output_conv2")(y)
+        y = nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="output_conv2")(y)
         y = nn.relu(y)
-        y = nn.Conv(1, (1, 1), name="output_conv3")(y)
+        y = nn.Conv(1, (1, 1), dtype=self.dtype, name="output_conv3")(y)
         if self.non_negative:
             y = nn.relu(y)
-        return y[..., 0]
+        return y[..., 0].astype(jnp.float32)
 
 
 def normalize_images(images: jnp.ndarray) -> jnp.ndarray:

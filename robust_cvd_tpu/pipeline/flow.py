@@ -4,12 +4,10 @@ Reference flow.py:34-209 + optical_flow_homography.py. TPU redesign: pairs
 are batched through one jitted RAFT program instead of a per-pair Python
 loop; masks are computed as one batched JAX program.
 
-Deviation: the reference pre-registers frame pairs with a SURF+RANSAC
-homography before RAFT and unwarps afterwards
-(optical_flow_homography.py:67-229). SURF (cv2.xfeatures2d) is unavailable
-here; RAFT's 20 iterations at <=1024 px handle the hierarchical2 pair
-distances in practice. A homography pre-registration hook is kept for a
-future corner-based implementation.
+Pairs are pre-registered with a homography before RAFT and the flow is
+un-warped through H^-1 afterwards, like the reference
+(optical_flow_homography.py:67-229) — but with corner+patch matching and a
+vectorized DLT-RANSAC (ops/homography.py) instead of patented SURF.
 """
 
 from __future__ import annotations

@@ -11,10 +11,12 @@ sparse Jacobian and factorizing on the host, we:
   - solve the damped normal equations (J^T J + lam*I) dx = -J^T r
     matrix-free with conjugate gradients, where J v and J^T u are one
     jvp / vjp through the residual function — no Jacobian is ever stored,
-  - run each OUTER iteration as one jitted program, looping on the host.
-    (A fully fused while-loop solver trips this backend's runtime watchdog
-    when a single program runs for minutes; per-outer-step programs are
-    ~cg_iters matvecs and also give free early termination.)
+  - run CHUNKS of outer iterations (LMConfig.chunk, default 10) as one
+    jitted program each, looping on the host between chunks. A fully fused
+    while-loop solver trips this backend's runtime watchdog when a single
+    program runs for minutes; per-chunk programs bound the runtime while
+    amortizing host-sync latency, and convergence bookkeeping is carried
+    on-device.
 
 The solver state is the parameter PYTREE itself — CG runs on tree algebra,
 so there is no ravel/unravel closure to bust the jit cache; the same
@@ -47,6 +49,9 @@ class LMConfig(NamedTuple):
     rtol: float = 1e-8
     # IRLS robustness scale (Cauchy a); <= 0 disables robustification.
     robustness: float = 0.5
+    # outer iterations fused into one jitted program (host syncs between
+    # chunks only; a chunk stays well under the runtime watchdog)
+    chunk: int = 10
 
 
 class LMResult(NamedTuple):
@@ -106,24 +111,8 @@ def _cg(matvec: Callable, b, iters: int, rtol: float = 0.01):
     return x
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "weighted_residual_fn",
-        "robust_residual_fn",
-        "project_fn",
-        "cfg",
-    ),
-)
-def _lm_outer_step(
-    weighted_residual_fn,
-    robust_residual_fn,
-    project_fn,
-    cfg: LMConfig,
-    params,
-    lam,
-    mask,
-    aux,
+def _one_outer_step(
+    weighted_residual_fn, robust_residual_fn, project_fn, cfg, params, lam, mask, aux
 ):
     """One LM outer iteration: frozen IRLS weights, CG on the damped normal
     equations, trial step with accept/reject and lambda update."""
@@ -175,6 +164,46 @@ def _lm_outer_step(
     return out, lam_out, jnp.where(accept, new_cost, cost), accept, rel_decrease
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "weighted_residual_fn",
+        "robust_residual_fn",
+        "project_fn",
+        "cfg",
+    ),
+)
+def _lm_outer_chunk(
+    weighted_residual_fn,
+    robust_residual_fn,
+    project_fn,
+    cfg: LMConfig,
+    params,
+    lam,
+    mask,
+    aux,
+):
+    """`cfg.chunk` LM outer iterations fused into one program, with the
+    convergence bookkeeping carried on-device (host syncs between chunks)."""
+
+    def body(state):
+        params, lam, rejects, done, cost = state
+        params, lam, cost, accept, rel = _one_outer_step(
+            weighted_residual_fn, robust_residual_fn, project_fn, cfg,
+            params, lam, mask, aux,
+        )
+        converged = jnp.logical_and(accept, rel < cfg.rtol)
+        rejects = jnp.where(accept, 0, rejects + 1)
+        stuck = jnp.logical_and(rejects >= 3, lam >= cfg.lam_max)
+        return params, lam, rejects, jnp.logical_or(converged, stuck), cost
+
+    def step(_, state):
+        return jax.lax.cond(state[3], lambda s: s, body, state)
+
+    state = (params, lam, jnp.array(0), jnp.array(False), jnp.asarray(jnp.inf))
+    return jax.lax.fori_loop(0, cfg.chunk, step, state)
+
+
 def solve(
     weighted_residual_fn: Callable,
     robust_residual_fn: Callable | None,
@@ -204,24 +233,15 @@ def solve(
     lam = jnp.asarray(cfg.lam_init, jnp.float32)
     cost = jnp.asarray(jnp.inf)
     it = 0
-    rejects = 0
-    for it in range(1, cfg.max_outer + 1):
-        params, lam, cost, accept, rel_decrease = _lm_outer_step(
+    chunks = max(1, -(-cfg.max_outer // cfg.chunk))
+    for c in range(chunks):
+        params, lam, _rejects, done, cost = _lm_outer_chunk(
             weighted_residual_fn, robust_residual_fn, project_fn, cfg,
             params, lam, mask, aux,
         )
-        if bool(accept):
-            rejects = 0
-            if float(rel_decrease) < cfg.rtol:
-                break
-        else:
-            # Rejected trial steps are normal while lambda ramps up; only
-            # exit once lambda has SATURATED without finding descent — the
-            # solve has converged (Ceres' analogous exit is
-            # min_trust_region_radius / function_tolerance).
-            rejects += 1
-            if rejects >= 3 and float(lam) >= cfg.lam_max:
-                break
+        it = (c + 1) * cfg.chunk
+        if bool(done):
+            break
     return LMResult(params=params, cost=cost, iterations=it, lam=lam)
 
 

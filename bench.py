@@ -104,7 +104,7 @@ def main():
     fwd = jax.jit(
         lambda p, bs, x: midas.apply({"params": p, "batch_stats": bs}, x)
     )
-    B = 10
+    B = 16
     out = fwd(mv["params"], mv["batch_stats"], images[:B])
     jax.block_until_ready(out)  # compile
     t0 = time.perf_counter()

@@ -16,7 +16,7 @@ from ..io.store import VideoStore
 
 
 def compute_initial_depth(
-    store: VideoStore, adapter, model_type: str, batch: int = 8
+    store: VideoStore, adapter, model_type: str, batch: int = 16
 ) -> np.ndarray:
     stream = f"depth_{model_type}"
     out_dir = store.depth_dir(stream)

@@ -105,13 +105,17 @@ def main():
         lambda p, bs, x: midas.apply({"params": p, "batch_stats": bs}, x)
     )
     B = 16
-    out = fwd(mv["params"], mv["batch_stats"], images[:B])
-    jax.block_until_ready(out)  # compile
+
+    def midas_pass():
+        acc = 0.0
+        for s in range(0, NUM_FRAMES, B):
+            acc = acc + fwd(mv["params"], mv["batch_stats"], images[s : s + B]).sum()
+        # force: unconsumed results can be cancelled on this backend
+        return float(acc)
+
+    midas_pass()  # warm: compile (incl. the ragged tail batch) + queue drain
     t0 = time.perf_counter()
-    acc = 0.0
-    for s in range(0, NUM_FRAMES, B):
-        acc = acc + fwd(mv["params"], mv["batch_stats"], images[s : s + B]).sum()
-    float(acc)  # force: unconsumed results can be cancelled on this backend
+    midas_pass()
     detail["midas_initial_depth_s"] = round(time.perf_counter() - t0, 4)
 
     # ---- stage 2: RAFT flow on hierarchical2 pairs -------------------------
@@ -122,16 +126,19 @@ def main():
     )
     rfwd = jax.jit(lambda v, a, b: raft.apply(v, a, b))
     fb = 16
-    im = images[:fb] * 255.0
-    jax.block_until_ready(rfwd(rv, im, im))  # compile
+
+    def raft_pass():
+        acc = 0.0
+        for s in range(0, len(pairs), fb):
+            chunk = pairs[s : s + fb]
+            i_idx = jnp.asarray([c[0] for c in chunk] + [0] * (fb - len(chunk)))
+            j_idx = jnp.asarray([c[1] for c in chunk] + [0] * (fb - len(chunk)))
+            acc = acc + rfwd(rv, images[i_idx] * 255.0, images[j_idx] * 255.0).sum()
+        return float(acc)
+
+    raft_pass()  # warm
     t0 = time.perf_counter()
-    acc = 0.0
-    for s in range(0, len(pairs), fb):
-        chunk = pairs[s : s + fb]
-        i_idx = jnp.asarray([c[0] for c in chunk] + [0] * (fb - len(chunk)))
-        j_idx = jnp.asarray([c[1] for c in chunk] + [0] * (fb - len(chunk)))
-        acc = acc + rfwd(rv, images[i_idx] * 255.0, images[j_idx] * 255.0).sum()
-    float(acc)
+    raft_pass()
     detail["raft_flow_s"] = round(time.perf_counter() - t0, 4)
     detail["num_pairs"] = len(pairs)
 

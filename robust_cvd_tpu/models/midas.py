@@ -163,10 +163,16 @@ class MidasNet(nn.Module):
     features: int = 256
     non_negative: bool = True
     dtype: type = jnp.bfloat16
+    # backbone stage depths; (3, 4, 23, 3) = ResNeXt-101. Reduced depths give
+    # the same program structure with a far smaller graph (compile-speed knob
+    # for CI / virtual-mesh dry runs on few-core hosts).
+    backbone_layers: Sequence[int] = (3, 4, 23, 3)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        l1, l2, l3, l4 = ResNeXt101Features(dtype=self.dtype, name="pretrained")(x, train)
+        l1, l2, l3, l4 = ResNeXt101Features(
+            layers=tuple(self.backbone_layers), dtype=self.dtype, name="pretrained"
+        )(x, train)
 
         rn = lambda ch, name: nn.Conv(
             self.features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,

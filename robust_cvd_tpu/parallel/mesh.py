@@ -25,6 +25,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)
+    if len(devices) < n:
+        raise ValueError(
+            f"requested a {n}-device mesh but only {len(devices)} device(s) "
+            "exist; run under JAX_PLATFORMS=cpu with "
+            f"--xla_force_host_platform_device_count={n} for a virtual mesh"
+        )
     return Mesh(np.array(devices[:n]), axis_names=(axis,))
 
 

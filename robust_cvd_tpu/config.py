@@ -88,6 +88,12 @@ class PoseOptParams:
     lm_max_outer: int = 50
     lm_cg_iters: int = 64
     lm_rtol: float = 1e-6
+    # Warm-start epoch re-solves from the previous solution at final grid
+    # resolution instead of reset + normalize + full coarse-to-fine (the
+    # reference resets every epoch; equivalence validated on the synthetic
+    # golden scene, tests/test_pose_opt.py).
+    warm_start: bool = True
+    lm_warm_max_outer: int = 15
 
 
 @dataclass(frozen=True)

@@ -90,6 +90,11 @@ def convert_midas_v2(sd: Dict) -> Tuple[dict, dict]:
 
     for k in range(1, 5):
         for rcu in ("resConfUnit1", "resConfUnit2"):
+            if k == 4 and rcu == "resConfUnit1":
+                # refinenet4 receives no skip input, so its resConfUnit1 is
+                # dead weight in the checkpoint (reference midas_net.py:66,
+                # blocks.py:147-151) and has no flax counterpart
+                continue
             for c in ("conv1", "conv2"):
                 put_conv(
                     (f"refinenet{k}", rcu, c),

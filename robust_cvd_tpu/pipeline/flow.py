@@ -167,6 +167,53 @@ class FlowStage:
             self.store.save_flow_mask(a, b, mab)
             self.store.save_flow_mask(b, a, mba)
 
+    def visualize_flow(self, index_pairs, warp: bool = True):
+        """Write vis_flow/frame_%06d_%06d.png (colors + flow wheel, original
+        over masked) and vis_flow_warped/frame_%06d_%06d_warped.png warp
+        checks (reference flow.py:128-178)."""
+        from ..io.store import save_png_color
+        from ..utils.visualization import apply_mask, flow_to_image, warp_by_flow
+
+        vis_dir = pjoin(self.store.base_dir, "vis_flow")
+        warp_dir = pjoin(self.store.base_dir, "vis_flow_warped")
+        os.makedirs(vis_dir, exist_ok=True)
+        if warp:
+            os.makedirs(warp_dir, exist_ok=True)
+
+        down = self.store.load_color_down()
+        done = set()
+        for (i, j) in index_pairs:
+            key = (min(i, j), max(i, j))
+            if key in done:
+                continue
+            done.add(key)
+            a, b = key
+            vis_path = pjoin(vis_dir, f"frame_{a:06d}_{b:06d}.png")
+            if os.path.exists(vis_path) and (
+                not warp
+                or os.path.exists(pjoin(warp_dir, f"frame_{a:06d}_{b:06d}_warped.png"))
+            ):
+                continue
+            flows = [self.store.load_flow(a, b), self.store.load_flow(b, a)]
+            masks = [self.store.load_flow_mask(a, b), self.store.load_flow_mask(b, a)]
+            colors = [down[a], down[b]]
+            flow_ims = [flow_to_image(f).astype(np.float32) / 255.0 for f in flows]
+            masked = np.hstack(
+                [apply_mask(c, m) for c, m in zip(colors, masks)]
+                + [apply_mask(f, m) for f, m in zip(flow_ims, masks)]
+            )
+            original = np.hstack(colors + flow_ims)
+            save_png_color(vis_path, np.vstack((original, masked)))
+            if warp:
+                for (x, y), color, flow in (
+                    ((a, b), down[b], flows[0]),
+                    ((b, a), down[a], flows[1]),
+                ):
+                    save_png_color(
+                        pjoin(warp_dir, f"frame_{x:06d}_{y:06d}_warped.png"),
+                        np.clip(warp_by_flow(color, flow), 0, 1),
+                    )
+
     def compute_flow_pair_stats(self, index_pairs) -> List[Tuple[int, int, float]]:
         """min two-way mask ratio -> flow_list.json (reference flow.py:44-74)."""
         entries = []

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 from os.path import join as pjoin
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -24,6 +24,15 @@ from ..solver.pose_opt import PoseOptInputs
 from ..solver.residuals import ConstraintData, SolverParams, TripletData
 
 
+class DepthStreamRef(NamedTuple):
+    """One registered depth stream: a name + an absolute directory holding
+    `depth/frame_%06d.raw` disparity files (reference DepthVideo's stream
+    list, lib/DepthVideo.cpp:409-580)."""
+
+    name: str
+    dir: str
+
+
 class PoseOptimizer:
     """(reference pose_optimization.py PoseOptimizer)."""
 
@@ -32,44 +41,127 @@ class PoseOptimizer:
         self.store = store
         self.depth_stream = depth_stream
         self.solver_params: Optional[SolverParams] = None
+        # stream 0 lives at <base>/<name>/depth (reference Importer layout)
+        self.streams: List[DepthStreamRef] = [
+            DepthStreamRef(depth_stream, pjoin(store.base_dir, depth_stream))
+        ]
         self._build_constraints()
 
+    # -- depth-stream registry (reference pose_optimization.py:242-326) -----
+
+    def _load_stream_depth(self, ref: DepthStreamRef) -> np.ndarray:
+        from ..io import raw
+
+        frames = [
+            raw.disparity_to_depth(
+                raw.load_raw_float32_image(
+                    pjoin(ref.dir, "depth", f"frame_{i:06d}.raw")
+                )
+            )
+            for i in range(self.store.num_frames)
+        ]
+        return np.stack(frames)
+
+    def save_depth_to_last_stream(self, depth: np.ndarray) -> None:
+        """Write (N, h, w) depth as disparity .raw into the newest stream
+        (the reference's save_depth into self.depth_dir)."""
+        from ..io import raw
+
+        ref = self.streams[-1]
+        d = pjoin(ref.dir, "depth")
+        os.makedirs(d, exist_ok=True)
+        for i in range(self.store.num_frames):
+            raw.save_raw_float32_image(
+                pjoin(d, f"frame_{i:06d}.raw"), raw.depth_to_disparity(depth[i])
+            )
+        if self.cfg.ft.save_depth_visualization:
+            from ..utils.visualization import visualize_depth_dir
+
+            visualize_depth_dir(d, d)
+
+    def duplicate_last_depth_stream(self, name: str, dir: str) -> DepthStreamRef:
+        """Copy the newest stream's .raw files into `dir` and register the
+        new stream (reference pose_optimization.py:262-290; poses/xforms are
+        shared solver state here, so only pixel data is copied)."""
+        import shutil
+
+        src = self.streams[-1]
+        dst = DepthStreamRef(name, dir)
+        os.makedirs(pjoin(dst.dir, "depth"), exist_ok=True)
+        for i in range(self.store.num_frames):
+            shutil.copyfile(
+                pjoin(src.dir, "depth", f"frame_{i:06d}.raw"),
+                pjoin(dst.dir, "depth", f"frame_{i:06d}.raw"),
+            )
+        self.streams.append(dst)
+        self.save()
+        return dst
+
+    def filter_depth(self, radius: int) -> DepthStreamRef:
+        """Flow-guided spatio-temporal filter into a `<last>_filtered`
+        stream (reference pose_optimization.py:292-326: Copy op +
+        FlowGuidedFilter op + saveDepth + save)."""
+        from ..io import raw
+        from .processor import Op, Processor, ProcessorParams
+
+        src = self.streams[-1]
+        name = src.name + "_filtered"
+        dst = self.duplicate_last_depth_stream(name, pjoin(src.dir, name))
+
+        depth = self._load_stream_depth(dst)
+        proc = Processor(self.store)
+        if self.store.camera is None and self.solver_params is not None:
+            from ..camera import pose_params_to_camera
+
+            self.store.camera = pose_params_to_camera(
+                self.solver_params.pose, self.solver_params.focal,
+                self.store.aspect,
+            )
+        filtered = proc.flow_guided_filter_array(
+            depth, ProcessorParams(op=Op.FLOW_GUIDED_FILTER, frame_radius=radius)
+        )
+        d = pjoin(dst.dir, "depth")
+        for i in range(self.store.num_frames):
+            raw.save_raw_float32_image(
+                pjoin(d, f"frame_{i:06d}.raw"),
+                raw.depth_to_disparity(np.asarray(filtered[i])),
+            )
+        self.save()
+        return dst
+
     # -- constraint construction (reference lib/FlowConstraints.cpp) --------
+
+    MATCH_SEPARATION = 10  # px (reference lib/FlowConstraints.h params default)
 
     def _build_constraints(self):
         store = self.store
         flow_list = store.load_flow_list()
-        pair_keys = sorted({(i, j) for (i, j, _) in flow_list})
-        n = store.num_frames
+        # FrameRange windows the constraint set (reference
+        # pose_optimization.py:167 resolves FlowConstraintsParams.frameRange;
+        # FlowConstraints.cpp:49-84 keeps only in-range pairs/triplets).
+        frame_set = set(
+            self.cfg.resolved_frame_range(store.num_frames).frames()
+        )
+        pair_keys = sorted(
+            {
+                (i, j)
+                for (i, j, _) in flow_list
+                if i in frame_set and j in frame_set
+            }
+        )
         triplet_keys = [
             t
-            for t in range(1, n - 1)
-            if self._has_flow(t, t - 1) and self._has_flow(t, t + 1)
+            for t in sorted(frame_set)
+            if (t - 1) in frame_set
+            and (t + 1) in frame_set
+            and self._has_flow(t, t - 1)
+            and self._has_flow(t, t + 1)
         ]
 
-        down = store.load_color_down()
-        gray = C.rgb_to_gray(down)
-        corner = np.asarray(C.corner_min_eigenval(jnp.asarray(gray)))
-
-        inv_aspect = store.inv_aspect
-        pairs: Dict[Tuple[int, int], C.PairConstraints] = {}
-        for (i, j) in pair_keys:
-            pairs[(i, j)] = C.build_pair_constraints(
-                corner[i],
-                store.load_flow(i, j),
-                store.load_flow_mask(i, j),
-                inv_aspect,
-            )
-        triplets: Dict[int, C.TripletConstraints] = {}
-        for t in triplet_keys:
-            triplets[t] = C.build_triplet_constraints(
-                corner[t],
-                store.load_flow(t, t - 1),
-                store.load_flow_mask(t, t - 1),
-                store.load_flow(t, t + 1),
-                store.load_flow_mask(t, t + 1),
-                inv_aspect,
-            )
+        pairs, triplets = self._load_constraint_cache(pair_keys, triplet_keys)
+        if pairs is None:
+            pairs, triplets = self._compute_constraints(pair_keys, triplet_keys)
+            self._save_constraint_cache(pairs, triplets)
 
         # static flags (reference pose_optimization.py:170-175)
         if self.cfg.opt.dynamic_constraints == "Mask":
@@ -101,6 +193,107 @@ class PoseOptimizer:
     def _has_flow(self, i, j):
         return os.path.exists(
             pjoin(self.store.base_dir, "flow", f"flow_{i:06d}_{j:06d}.raw")
+        )
+
+    def _compute_constraints(self, pair_keys, triplet_keys):
+        store = self.store
+        down = store.load_color_down()
+        gray = C.rgb_to_gray(down)
+        corner = np.asarray(C.corner_min_eigenval(jnp.asarray(gray)))
+
+        inv_aspect = store.inv_aspect
+        pairs: Dict[Tuple[int, int], C.PairConstraints] = {}
+        for (i, j) in pair_keys:
+            pairs[(i, j)] = C.build_pair_constraints(
+                corner[i],
+                store.load_flow(i, j),
+                store.load_flow_mask(i, j),
+                inv_aspect,
+                match_separation=self.MATCH_SEPARATION,
+            )
+        triplets: Dict[int, C.TripletConstraints] = {}
+        for t in triplet_keys:
+            triplets[t] = C.build_triplet_constraints(
+                corner[t],
+                store.load_flow(t, t - 1),
+                store.load_flow_mask(t, t - 1),
+                store.load_flow(t, t + 1),
+                store.load_flow_mask(t, t + 1),
+                inv_aspect,
+                match_separation=self.MATCH_SEPARATION,
+            )
+        return pairs, triplets
+
+    # -- flow_constraints.dat cache (reference FlowConstraints.cpp:86-93:
+    # load if the file exists and params match, else compute and save) ------
+
+    @property
+    def _cache_path(self) -> str:
+        return pjoin(self.store.base_dir, "flow_constraints.dat")
+
+    def _load_constraint_cache(self, pair_keys, triplet_keys):
+        from ..io.flow_constraints_dat import load_flow_constraints_dat
+
+        if not os.path.exists(self._cache_path):
+            return None, None
+        try:
+            ms, cpairs, ctrips = load_flow_constraints_dat(self._cache_path)
+        except (ValueError, OSError) as e:
+            print(f"ignoring unreadable flow_constraints.dat ({e})")
+            return None, None
+        # params-match check (reference FlowConstraints.cpp:144-149); the
+        # cached key set must cover this run's window.
+        if ms != self.MATCH_SEPARATION:
+            return None, None
+        if not (set(cpairs) >= set(pair_keys) and set(ctrips) >= set(triplet_keys)):
+            return None, None
+        pairs = {
+            k: C.PairConstraints(
+                loc0=np.ascontiguousarray(cpairs[k][:, 0]),
+                loc1=np.ascontiguousarray(cpairs[k][:, 1]),
+                is_static=np.ones(len(cpairs[k]), bool),
+            )
+            for k in pair_keys
+        }
+        triplets = {
+            t: C.TripletConstraints(
+                loc=np.ascontiguousarray(ctrips[t]),
+                is_static=np.ones(len(ctrips[t]), bool),
+            )
+            for t in triplet_keys
+        }
+        return pairs, triplets
+
+    def _save_constraint_cache(self, pairs, triplets):
+        from ..io.flow_constraints_dat import save_flow_constraints_dat
+
+        save_flow_constraints_dat(
+            self._cache_path,
+            self.MATCH_SEPARATION,
+            {
+                k: np.stack([pc.loc0, pc.loc1], axis=1)
+                for k, pc in pairs.items()
+            },
+            {t: tc.loc for t, tc in triplets.items()},
+        )
+
+    # -- static-flag maintenance (reference lib/FlowConstraints.h:187-189) ---
+
+    def reset_static_flag(self):
+        """Mark every constraint static (reference FlowConstraints.cpp:552-571)."""
+        for pc in self.pairs.values():
+            pc.is_static[:] = True
+        for tc in self.triplets.values():
+            tc.is_static[:] = True
+
+    def prune_static_flag(self, prune_distance: int = 10):
+        """Contaminate neighborhoods of dynamic constraints
+        (reference FlowConstraints.cpp:662-748)."""
+        down = self.store.load_color_down()
+        C.prune_static_flag(
+            self.store.num_frames,
+            self.pair_keys, self.pairs, self.triplet_keys, self.triplets,
+            tuple(down.shape[1:3]), prune_distance,
         )
 
     def _make_inputs(self) -> PoseOptInputs:
@@ -204,17 +397,23 @@ class PoseOptimizer:
                     ),
                 )
             )
+        # every registered stream; duplicates share poses/xforms (the
+        # reference's copy_poses, pose_optimization.py:242-260)
+        depth_streams = [
+            vd.DepthStreamInfo(
+                ref.name,
+                os.path.relpath(ref.dir, store.base_dir),
+                ddesc, sdesc, dw, dh, frames,
+            )
+            for ref in self.streams
+        ]
         container = vd.VideoDat(
             pts=list(store.meta.pts),
             color_streams=[
                 vd.ColorStreamInfo("full", "color_full", ".png", 21, store.meta.width, store.meta.height),
                 vd.ColorStreamInfo("down", "color_down", ".raw", 21, dw, dh),
             ],
-            depth_streams=[
-                vd.DepthStreamInfo(
-                    self.depth_stream, self.depth_stream, ddesc, sdesc, dw, dh, frames
-                )
-            ],
+            depth_streams=depth_streams,
             duration=store.meta.pts[-1] if store.meta.pts else 0.0,
             width=store.meta.width,
             height=store.meta.height,

@@ -75,22 +75,33 @@ class DatasetProcessor:
 
     def pipeline(self):
         cfg = self.cfg
-        video = VideoStage(cfg.path, cfg.video_file)
-        meta = video.extract_frames()
+        from ..utils.experiment import StageTracer
 
-        video.downscale_frames("color_down", cfg.size, ".raw", cfg.align)
-        video.downscale_frames("color_down_png", cfg.size, ".png", cfg.align)
-        video.downscale_frames("color_flow", FLOW_MAX_SIZE, ".png", FLOW_ALIGN)
+        tracer = self.tracer = StageTracer()
+        video = VideoStage(cfg.path, cfg.video_file)
+        with tracer.span("extract_frames"):
+            meta = video.extract_frames()
+
+        with tracer.span("downscale_frames"):
+            video.downscale_frames("color_down", cfg.size, ".raw", cfg.align)
+            video.downscale_frames("color_down_png", cfg.size, ".png", cfg.align)
+            video.downscale_frames("color_flow", FLOW_MAX_SIZE, ".png", FLOW_ALIGN)
 
         store = VideoStore.open(cfg.path)
 
-        depth = compute_initial_depth(store, self._depth_model(), cfg.model_type)
+        with tracer.span("compute_initial_depth"):
+            depth = compute_initial_depth(store, self._depth_model(), cfg.model_type)
 
         flow_stage = FlowStage(store, *self._flow_model_pair())
         index_pairs = flow_stage.sample_index_pairs(cfg.flow_ops, meta.num_frames)
-        flow_stage.compute_flow(index_pairs)
-        flow_stage.compute_flow_masks(index_pairs)
+        with tracer.span("compute_flow", pairs=len(index_pairs)):
+            flow_stage.compute_flow(index_pairs)
+        with tracer.span("compute_flow_masks"):
+            flow_stage.compute_flow_masks(index_pairs)
         flow_stage.compute_flow_pair_stats(index_pairs)
+        if cfg.vis_flow:
+            with tracer.span("visualize_flow"):
+                flow_stage.visualize_flow(index_pairs)
 
         # dynamic masks (reference spawns detectron2 Mask R-CNN here,
         # process.py:147-165). Without pretrained segmentation weights the
@@ -99,12 +110,18 @@ class DatasetProcessor:
         if cfg.opt.dynamic_constraints == "Mask":
             from .masks import compute_dynamic_masks
 
-            try:
-                compute_dynamic_masks(store)
-            except Exception as e:  # mask failures do not abort the pipeline
-                print(f"dynamic mask generation failed ({e}); continuing")
+            with tracer.span("compute_dynamic_mask"):
+                try:
+                    compute_dynamic_masks(store)
+                except Exception as e:  # mask failures do not abort the pipeline
+                    print(f"dynamic mask generation failed ({e}); continuing")
 
-        self.fine_tune(store, depth)
+        with tracer.span("fine_tune"):
+            tuner = self.fine_tune(store, depth)
+
+        out = self.out_dir(store.num_frames)
+        os.makedirs(out, exist_ok=True)
+        tracer.save(pjoin(out, "stage_timings.json"))
         return store
 
     def _flow_model_pair(self):
@@ -136,15 +153,16 @@ class DatasetProcessor:
         )
         inputs = pose._make_inputs()
         adapter = self._depth_model()
-        tuner = FineTuner(cfg, adapter, clip, inputs)
-        tuner.run()
 
-        out = self.out_dir(store.num_frames)
-        os.makedirs(out, exist_ok=True)
-        fine_store = VideoStore(out, store.meta)
-        fine_store.save_depth_stream(
-            f"depth_{cfg.model_type}_fine_tuned", np.asarray(tuner.current_depth)
-        )
+        # experiment dir: R{range}_{ops}_{model}/<tag> (reference
+        # depth_fine_tuning.py:213-215 make_tag)
+        from ..utils.experiment import make_tag
+
+        ft_dir = pjoin(self.out_dir(store.num_frames), make_tag(cfg))
+        os.makedirs(ft_dir, exist_ok=True)
+
+        tuner = FineTuner(cfg, adapter, clip, inputs, pose=pose, out_dir=ft_dir)
+        tuner.run()
         return tuner
 
     def process(self):

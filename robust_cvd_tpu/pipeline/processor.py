@@ -62,6 +62,9 @@ class ProcessorParams:
     track_prune_distance: int = 5
     min_dynamic_distance: int = 3
     min_track_length: int = 4
+    # GridXformSplit target (gx, gy[, gz]) — reference passes the new
+    # descriptor through Params (Processor.cpp:888-985)
+    grid_size: tuple = ()
     pose_optimizer: PoseOptParams = dataclasses.field(default_factory=PoseOptParams)
 
 
@@ -73,13 +76,21 @@ class Processor:
     # -- dispatch ------------------------------------------------------------
 
     def process(self, p: ProcessorParams):
+        """All 13 ops dispatch (reference lib/Processor.cpp:115-144)."""
         handler = {
             Op.COPY: self.copy,
             Op.BILATERAL_FILTER: self.bilateral_filter,
             Op.FLOW_GUIDED_FILTER: self.flow_guided_filter,
             Op.CLIP_MAX_DEPTH: self.clip_max_depth,
+            Op.COMPUTE_CONSTRAINTS: self.compute_constraints,
             Op.COMPUTE_TRACKS: self.compute_tracks,
+            Op.GRID_XFORM_SPLIT: self.grid_xform_split_op,
             Op.RESET_POSES: self.reset_poses,
+            Op.RESET_DEPTH_XFORMS: self.reset_depth_xforms,
+            Op.RESET_SPATIAL_XFORMS: self.reset_spatial_xforms,
+            Op.NORMALIZE_DEPTH: self.normalize_depth,
+            Op.OPTIMIZE_POSES: self.optimize_poses,
+            Op.RESET_NORMALIZE_OPTIMIZE: self.reset_normalize_optimize,
         }.get(p.op)
         if handler is None:
             raise ValueError(f"unsupported op {p.op}")
@@ -102,8 +113,15 @@ class Processor:
 
     def flow_guided_filter(self, p: ProcessorParams):
         """(reference Processor.cpp:315-590 + pose_optimization.py:292-326)."""
+        depth = jnp.asarray(self.store.load_depth_stream(p.source_depth_stream))
+        out = self.flow_guided_filter_array(depth, p)
+        self.store.save_depth_stream(p.depth_stream, np.asarray(out))
+
+    def flow_guided_filter_array(self, depth, p: ProcessorParams):
+        """Filter an in-memory (N, H, W) depth stack using the store's
+        consecutive flows + camera state."""
         store = self.store
-        depth = jnp.asarray(store.load_depth_stream(p.source_depth_stream))
+        depth = jnp.asarray(depth)
         N, H, W = depth.shape
         cams = self._filter_cameras((H, W))
         ext = self._extrinsics()
@@ -123,13 +141,12 @@ class Processor:
             except FileNotFoundError:
                 continue
 
-        out = filters.flow_guided_filter(
+        return filters.flow_guided_filter(
             depth, world, cams,
             jnp.asarray(flows_fwd), jnp.asarray(masks_fwd),
             jnp.asarray(flows_bwd), jnp.asarray(masks_bwd),
             frame_radius=p.frame_radius, median=p.median,
         )
-        self.store.save_depth_stream(p.depth_stream, np.asarray(out))
 
     def clip_max_depth(self, p: ProcessorParams):
         depth = jnp.asarray(self.store.load_depth_stream(p.source_depth_stream or p.depth_stream))
@@ -173,6 +190,104 @@ class Processor:
     def grid_xform_split(self, grid: jnp.ndarray, new_spec: GridSpec):
         """(reference Processor.cpp:888-985) — exposed for solver use."""
         return xforms.split_grid(grid, new_spec)
+
+    def grid_xform_split_op(self, p: ProcessorParams):
+        """Dispatchable GridXformSplit over the held solver state."""
+        if self.solver_params is None:
+            raise ValueError("GridXformSplit requires solver state (run "
+                             "NormalizeDepth/OptimizePoses or set solver_params)")
+        if len(p.grid_size) < 2:
+            raise ValueError("GridXformSplit needs grid_size=(gx, gy[, gz])")
+        gx, gy = p.grid_size[:2]
+        gz = p.grid_size[2] if len(p.grid_size) > 2 else self.solver_params.depth_grid.shape[1]
+        self.solver_params = self.solver_params._replace(
+            depth_grid=xforms.split_grid(
+                self.solver_params.depth_grid, GridSpec(gx=gx, gy=gy, gz=gz)
+            )
+        )
+        return self.solver_params
+
+    # -- constraint / solver ops (reference Processor.cpp:621-629, 1005-1034) --
+
+    def _pose_wrapper(self, p: ProcessorParams):
+        """A pipeline PoseOptimizer bound to this store (builds/loads the
+        constraint set the way Op.ComputeConstraints does)."""
+        from ..config import PipelineConfig
+        from .pose import PoseOptimizer as PipelinePoseOptimizer
+
+        if getattr(self, "_pose", None) is None:
+            cfg = PipelineConfig(
+                path=self.store.base_dir, opt=p.pose_optimizer
+            )
+            stream = p.source_depth_stream or p.depth_stream
+            if not stream:
+                raise ValueError("constraint/solver ops need a depth stream name")
+            self._pose = PipelinePoseOptimizer(cfg, self.store, stream)
+            self._pose.solver_params = self.solver_params
+        return self._pose
+
+    def compute_constraints(self, p: ProcessorParams):
+        """(reference Processor.cpp:621-629)."""
+        return self._pose_wrapper(p)
+
+    def reset_depth_xforms(self, p: ProcessorParams):
+        """Fresh Global(Scale) depth transforms (reference Processor.cpp:1005-1008)."""
+        sp = self._ensure_solver_params(p)
+        self.solver_params = sp._replace(
+            depth_grid=jnp.ones_like(sp.depth_grid[:, :1, :1, :1])
+        )
+        if getattr(self, "_pose", None) is not None:
+            self._pose.solver_params = self.solver_params
+        return self.solver_params
+
+    def reset_spatial_xforms(self, p: ProcessorParams):
+        """Identity spatial transforms (reference Processor.cpp:1010-1013)."""
+        sp = self._ensure_solver_params(p)
+        self.solver_params = sp._replace(
+            spatial_grid=jnp.zeros_like(sp.spatial_grid[:, :1, :1, :])
+        )
+        if getattr(self, "_pose", None) is not None:
+            self._pose.solver_params = self.solver_params
+        return self.solver_params
+
+    def normalize_depth(self, p: ProcessorParams):
+        """(reference Processor.cpp:1015-1019)."""
+        pose = self._pose_wrapper(p)
+        inputs = pose._make_inputs()
+        sp = self._ensure_solver_params(p)
+        self.solver_params = pose_opt.normalize_depth(p.pose_optimizer, inputs, sp)
+        pose.solver_params = self.solver_params
+        return self.solver_params
+
+    def optimize_poses(self, p: ProcessorParams):
+        """(reference Processor.cpp:1021-1025)."""
+        pose = self._pose_wrapper(p)
+        inputs = pose._make_inputs()
+        sp = self._ensure_solver_params(p)
+        self.solver_params = pose_opt.optimize_poses(p.pose_optimizer, inputs, sp)
+        pose.solver_params = self.solver_params
+        return self.solver_params
+
+    def reset_normalize_optimize(self, p: ProcessorParams):
+        """ResetPoses + ResetDepthXforms + ResetSpatialXforms + Normalize +
+        Optimize (reference Processor.cpp:1027-1034)."""
+        self.reset_poses(p)
+        self.solver_params = None
+        self._ensure_solver_params(p)
+        self.normalize_depth(p)
+        return self.optimize_poses(p)
+
+    def _ensure_solver_params(self, p: ProcessorParams):
+        if self.solver_params is None:
+            from ..solver.pose_opt import _v_focal, default_solver_params
+
+            focal = jnp.full(
+                (self.store.num_frames,),
+                _v_focal(p.pose_optimizer, self.store.aspect),
+                jnp.float32,
+            )
+            self.solver_params = default_solver_params(self.store.num_frames, focal)
+        return self.solver_params
 
     # -- helpers -------------------------------------------------------------
 

@@ -333,6 +333,13 @@ def flatten_pairs(
     lib/PoseOptimizer.cpp:1177-1193). Each pair is padded to the max
     per-pair count (or `pad_to`)."""
     keys = [k for k in pair_keys if len(pairs[k].loc0) > 0]
+    if not keys:
+        raise RuntimeError(
+            "no usable flow constraints: every sampled pair's consistency "
+            "mask is empty. The optical flow is too inconsistent to drive "
+            "pose optimization — check flow quality (flow_mask/ coverage, "
+            "flow_list.json mask ratios) and the RAFT checkpoint."
+        )
     P = len(keys)
     C = pad_to or max(len(pairs[k].loc0) for k in keys)
     C = ((C + 127) // 128) * 128  # lane-width padding: TPU tiles want 128

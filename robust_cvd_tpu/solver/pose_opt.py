@@ -332,6 +332,22 @@ def optimize_poses(
     return params
 
 
+def _warm_run(
+    opt: PoseOptParams, inputs: PoseOptInputs, initial: SolverParams
+) -> SolverParams:
+    """One refinement solve at the previous solution's grid resolution."""
+    warm = dataclasses.replace(opt, lm_max_outer=opt.lm_warm_max_outer)
+    sy, sx = initial.spatial_grid.shape[1:3]
+    spatial_cubic = sx > 2 or sy > 2
+    return _solve_step(
+        warm,
+        inputs,
+        initial,
+        opt.deformation_regularization_final,
+        spatial_cubic=spatial_cubic,
+    )
+
+
 def run(
     opt: PoseOptParams,
     inputs: PoseOptInputs,
@@ -340,7 +356,19 @@ def run(
 ) -> SolverParams:
     """normalize + optimize from fresh transforms — equivalent of one
     `PoseOptimizer.optimize_poses()` call (reference
-    pose_optimization.py:177-240)."""
+    pose_optimization.py:177-240).
+
+    With `opt.warm_start` and a previous solution, re-solving skips the
+    reset-to-1x1 + normalization + full coarse-to-fine schedule and instead
+    refines the previous solution at its final grid resolution with a
+    reduced iteration cap. The reference re-runs all Ceres steps from reset
+    transforms every epoch (pose_optimization.py:195-212); warm starting is
+    convergence-equivalent on the synthetic golden scene
+    (tests/test_pose_opt.py) and is the top wall-clock lever in the
+    fine-tuning alternation.
+    """
+    if initial is not None and opt.warm_start:
+        return _warm_run(opt, inputs, initial)
     if initial is None:
         if focal is None:
             focal = jnp.full(

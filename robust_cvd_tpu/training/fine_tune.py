@@ -255,16 +255,67 @@ def make_train_step(net, loss_opt: LossParams, optimizer, use_temporal: bool):
     return jax.jit(step)
 
 
+def make_eval_step(net, loss_opt: LossParams, use_temporal: bool):
+    """Loss-only jitted eval: forward + JointLoss, no gradient/Adam program
+    (the reference's eval_and_save runs the model under torch.no_grad with
+    train-mode batch norm, depth_fine_tuning.py:747-748)."""
+
+    def step(params, batch_stats, batch_ids, clip: ClipData, ps: PoseState,
+             params_init):
+        from ..models.midas import normalize_images
+
+        pair = clip.pair_idx[batch_ids]
+        if use_temporal:
+            frames = jnp.concatenate([pair, clip.neighbor_idx[batch_ids]], axis=1)
+        else:
+            frames = pair
+        images = clip.images[frames]
+        B, K, H, W, _ = images.shape
+        x = normalize_images(images.reshape(B * K, H, W, 3))
+        disp, _ = net.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, train=True, mutable=["batch_stats"],
+        )
+        depth = (1.0 / (disp + 1e-7)).reshape(B, K, H, W) * ps.scales[frames]
+        meta = LossMeta(
+            extrinsics=ps.extrinsics[frames],
+            intrinsics=ps.intrinsics[frames],
+            flows=clip.flows[batch_ids],
+            masks=clip.masks[batch_ids],
+            warp=ps.warp[frames],
+            flows_n=clip.flows_n[batch_ids] if use_temporal else None,
+            masks_n=clip.masks_n[batch_ids] if use_temporal else None,
+            valid_n=clip.valid_n[batch_ids] if use_temporal else None,
+        )
+        total, parts = losses.joint_loss(
+            loss_opt, images, clip.depth_orig[frames], depth, meta,
+            params=params, params_init=params_init,
+        )
+        return total, parts
+
+    return jax.jit(step)
+
+
 class FineTuner:
     """Drives epochs of fused train steps alternating with pose optimization
-    (reference DepthFineTuner.fine_tune, depth_fine_tuning.py:311-631)."""
+    (reference DepthFineTuner.fine_tune, depth_fine_tuning.py:311-631).
+
+    With `pose` (the pipeline's PoseOptimizer wrapper) and `out_dir` set, the
+    reference's persistence surface is active: video.dat after every pose
+    opt, eval/ loss JSONs + depth/scale visualizations at val_epoch_freq,
+    checkpoints/ at save_epoch_freq, intermediate depth_e%04d[_opt] streams
+    at save_intermediate_depth_streams_freq, and the post filter.
+    """
 
     def __init__(self, cfg: PipelineConfig, adapter, clip: ClipData,
-                 pose_inputs: PoseOptInputs, seed: int = 0):
+                 pose_inputs: PoseOptInputs, seed: int = 0,
+                 pose=None, out_dir: Optional[str] = None):
         self.cfg = cfg
         self.adapter = adapter
         self.clip = clip
         self.pose_inputs = pose_inputs
+        self.pose = pose
+        self.out_dir = out_dir
         self.rng = np.random.default_rng(seed)
 
         lr = cfg.ft.learning_rate if cfg.ft.learning_rate > 0 else adapter.learning_rate
@@ -284,15 +335,21 @@ class FineTuner:
         self.params_init = jax.tree.map(jnp.asarray, adapter.params)
         self.opt_state = self.optimizer.init(self.params)
         self.solver_params: Optional[SolverParams] = None
+        self.eval_fn = None
         self.history: List[Dict] = []
         self.writer = None
-        if cfg.ft.save_tensorboard and (cfg.ft.tensorboard_log_path or cfg.ft.log_dir):
+        tb_dir = cfg.ft.tensorboard_log_path or cfg.ft.log_dir
+        if not tb_dir and out_dir is not None:
+            # reference default: <experiment dir>/tensorboard
+            # (depth_fine_tuning.py:386-395)
+            import os as _os
+
+            tb_dir = _os.path.join(out_dir, "tensorboard")
+        if cfg.ft.save_tensorboard and tb_dir:
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
-                self.writer = SummaryWriter(
-                    cfg.ft.tensorboard_log_path or cfg.ft.log_dir
-                )
+                self.writer = SummaryWriter(tb_dir)
             except Exception:
                 self.writer = None
 
@@ -304,20 +361,50 @@ class FineTuner:
         self.pose_state = pose_state_from_solver(
             self.solver_params, shape, self.pose_inputs.aspect, self.clip.depth_orig
         )
+        if self.pose is not None:
+            # persist camera state + transforms + video.dat after every pose
+            # opt (reference pose_optimization.py:240 depth_video.save())
+            self.pose.solver_params = self.solver_params
+            self.pose.save()
 
     def run(self, num_epochs: Optional[int] = None):
-        num_epochs = num_epochs or self.cfg.ft.num_epochs
+        import os
+        from os.path import join as pjoin
+
+        ft = self.cfg.ft
+        num_epochs = num_epochs or ft.num_epochs
         P = int(self.clip.pair_idx.shape[0])
-        B = max(1, min(self.cfg.ft.batch_size, P))
+        B = max(1, min(ft.batch_size, P))
+        inter_freq = ft.save_intermediate_depth_streams_freq
+        persist = self.pose is not None and self.out_dir is not None
 
         self.optimize_poses()
 
+        # initial depth stream under the experiment dir (reference
+        # depth_fine_tuning.py:360-365: depth_e0000 with intermediate streams
+        # on, else the single fine_tuned stream dir)
+        if persist:
+            if inter_freq > 0:
+                self.pose.duplicate_last_depth_stream(
+                    "e0000", pjoin(self.out_dir, "depth_e0000")
+                )
+            else:
+                # the fine_tuned stream lives at the experiment dir itself
+                # (reference depth_fine_tuning.py:363-365 passes out_dir)
+                self.pose.duplicate_last_depth_stream("fine_tuned", self.out_dir)
+
+        if ft.val_epoch_freq >= 0:
+            self.validate(0, 0)
+
+        total_iters = 0
         for epoch in range(num_epochs):
             t0 = time.perf_counter()
             order = self.rng.permutation(P)
             epoch_losses = []
             last_parts = {}
-            for s in range(0, P - B + 1, B):
+            # the trailing partial batch is kept (reference DataLoader
+            # drop_last=False)
+            for s in range(0, P, B):
                 ids = jnp.asarray(order[s : s + B], jnp.int32)
                 (self.params, self.batch_stats, self.opt_state, loss, parts
                  ) = self.step_fn(
@@ -326,6 +413,7 @@ class FineTuner:
                 )
                 epoch_losses.append(loss)
                 last_parts = parts
+                total_iters += int(ids.shape[0])
             mean_loss = float(jnp.mean(jnp.stack(epoch_losses)))
             self.history.append(
                 {"epoch": epoch, "loss": mean_loss, "sec": time.perf_counter() - t0}
@@ -340,12 +428,133 @@ class FineTuner:
                     self.writer.add_scalar(f"Train/{k}/max", float(arr.max()), epoch)
                     self.writer.add_scalar(f"Train/{k}/min", float(arr.min()), epoch)
 
-            if (epoch + 1) % max(1, self.cfg.ft.pose_opt_freq) == 0:
+            if ft.val_epoch_freq >= 0 and (epoch + 1) % ft.val_epoch_freq == 0:
+                self.validate(epoch + 1, total_iters)
+
+            if ft.save_checkpoints and (epoch + 1) % max(1, ft.save_epoch_freq) == 0:
+                ckpt_dir = pjoin(self.out_dir, "checkpoints") if self.out_dir else "checkpoints"
+                self.save_checkpoint(ckpt_dir, epoch + 1)
+
+            save_inter = inter_freq > 0 and (epoch + 1) % inter_freq == 0
+            if save_inter:
+                # current weights' depth into the epoch's stream (reference
+                # depth_fine_tuning.py:576-579 save_depth)
                 self.refresh_depth()
+                if persist:
+                    self.pose.save_depth_to_last_stream(np.asarray(self.current_depth))
+
+            if (epoch + 1) % max(1, self.cfg.ft.pose_opt_freq) == 0:
+                if persist and inter_freq > 0:
+                    self.pose.duplicate_last_depth_stream(
+                        f"e{epoch:04d}_opt",
+                        pjoin(self.out_dir, f"depth_e{epoch:04d}_opt"),
+                    )
+                if not save_inter:
+                    self.refresh_depth()
                 self.optimize_poses()
+                if persist and save_inter:
+                    self.pose.save_depth_to_last_stream(np.asarray(self.current_depth))
+
+            if (
+                persist and inter_freq > 0
+                and (epoch + 1) % inter_freq == 0
+                and epoch + 1 < num_epochs
+            ):
+                self.pose.duplicate_last_depth_stream(
+                    f"e{epoch + 1:04d}",
+                    pjoin(self.out_dir, f"depth_e{epoch + 1:04d}"),
+                )
+
+        # final validation unless the loop just did it
+        # (reference depth_fine_tuning.py:622-627)
+        if ft.val_epoch_freq >= 0 and num_epochs % ft.val_epoch_freq != 0:
+            self.validate(num_epochs, total_iters)
 
         self.refresh_depth()
+        if persist:
+            self.pose.save_depth_to_last_stream(np.asarray(self.current_depth))
+
+        if self.cfg.post_filter and self.pose is not None:
+            self.pose.filter_depth(self.cfg.filter_radius)
         return self.history
+
+    def validate(self, epoch: int, niters: int):
+        """Per-pair eval losses + artifacts (reference validate →
+        eval_and_save, depth_fine_tuning.py:415-432, 633-860)."""
+        import json
+        import os
+        from os.path import join as pjoin
+
+        if self.out_dir is None:
+            return self.eval_pair_losses()
+
+        ft = self.cfg.ft
+        eval_dir = pjoin(self.out_dir, "eval")
+        os.makedirs(eval_dir, exist_ok=True)
+        suf = f"_e{epoch:04d}_iter{niters:06d}"
+
+        entries = self.eval_pair_losses()
+        # reference JSON structure: {loss_name: {"[i, j]": val}, "mean": {}}
+        loss_dict: Dict[str, Dict[str, float]] = {}
+        for e in entries:
+            key = str(e["pair"])
+            for name, val in e.items():
+                if name == "pair":
+                    continue
+                loss_dict.setdefault(name, {})[key] = val
+        loss_dict["mean"] = {
+            name: float(np.mean(list(vals.values())))
+            for name, vals in loss_dict.items()
+        }
+        with open(pjoin(eval_dir, f"loss{suf}.json"), "w") as f:
+            json.dump(loss_dict, f)
+
+        if self.writer is not None:
+            for name, mean in loss_dict["mean"].items():
+                self.writer.add_scalar(f"validation/{name}", mean, epoch)
+
+        is_edge_epoch = epoch == 0 or epoch == ft.num_epochs
+        if ft.save_eval_images or is_edge_epoch:
+            from ..io import raw as raw_io
+            from ..io.store import save_png_color
+            from ..utils.visualization import visualize_depth
+
+            depth = np.asarray(self.infer_depth())
+            disparity = 1.0 / np.maximum(depth, 1e-7)
+            dmax = float(disparity.max())
+            for i in range(depth.shape[0]):
+                pre = pjoin(eval_dir, f"depth_{i:06d}{suf}")
+                raw_io.save_raw_float32_image(pre + ".raw", disparity[i])
+                save_png_color(
+                    pre + ".png",
+                    visualize_depth(depth[i], depth_min=1.0 / max(dmax, 1e-7)),
+                )
+
+        if ft.save_depth_xform_maps:
+            from ..io import raw as raw_io
+            from ..io.store import save_png_gray
+
+            scales = np.asarray(self.pose_state.scales)
+            smax = float(scales.max())
+            for i in range(scales.shape[0]):
+                pre = pjoin(eval_dir, f"scale_{i:06d}{suf}")
+                raw_io.save_raw_float32_image(pre + ".raw", scales[i])
+                save_png_gray(
+                    pre + ".png",
+                    np.uint8(np.clip(scales[i] / max(smax, 1e-12), 0, 1) * 255),
+                )
+
+        # stdout table (reference depth_fine_tuning.py:826-858)
+        names = [n for n in loss_dict if n != "mean"]
+        for e in entries:
+            line = f"({e['pair'][0]:3d}, {e['pair'][1]:3d}): "
+            line += ", ".join(f"{n}: {e.get(n, 0.0):10.6f}" for n in names)
+            print(line)
+        print(
+            "Mean:        "
+            + ", ".join(f"{n}: {loss_dict['mean'][n]:10.6f}" for n in names)
+        )
+        return loss_dict
 
     def refresh_depth(self):
         """Re-infer depth for the whole clip with the current weights and
@@ -391,14 +600,18 @@ class FineTuner:
     # -- evaluation / persistence artifacts ---------------------------------
 
     def eval_pair_losses(self) -> List[Dict]:
-        """Per-pair loss breakdown (reference eval_and_save writes
-        eval/loss_%04d.json each epoch, depth_fine_tuning.py:633-860)."""
+        """Per-pair loss breakdown via the loss-only eval step
+        (reference eval_and_save, depth_fine_tuning.py:633-860)."""
+        if self.eval_fn is None:
+            self.eval_fn = make_eval_step(
+                self.adapter.net, self.cfg.loss, self.use_temporal
+            )
         P = int(self.clip.pair_idx.shape[0])
         out = []
         for p in range(P):
             ids = jnp.asarray([p], jnp.int32)
-            _, _, _, loss, parts = self.step_fn(
-                self.params, self.batch_stats, self.opt_state, ids,
+            loss, parts = self.eval_fn(
+                self.params, self.batch_stats, ids,
                 self.clip, self.pose_state, self.params_init,
             )
             entry = {

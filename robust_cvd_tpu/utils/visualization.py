@@ -18,7 +18,7 @@ def visualize_depth(depth: np.ndarray, depth_min=None, depth_max=None,
                     cmap: str = "magma") -> np.ndarray:
     """Depth map -> (H, W, 3) uint8 via inverse-depth colormap
     (reference utils/visualization.py visualize_depth)."""
-    import matplotlib.cm
+    import matplotlib
 
     depth = np.asarray(depth, np.float32)
     valid = np.isfinite(depth) & (depth > 0)
@@ -30,7 +30,7 @@ def visualize_depth(depth: np.ndarray, depth_min=None, depth_max=None,
         depth_max = np.percentile(depth[valid], 95) if valid.any() else 10.0
     lo, hi = 1.0 / max(depth_max, 1e-6), 1.0 / max(depth_min, 1e-6)
     t = np.clip((inv - lo) / max(hi - lo, 1e-12), 0.0, 1.0)
-    rgba = matplotlib.cm.get_cmap(cmap)(t)
+    rgba = matplotlib.colormaps[cmap](t)
     out = (rgba[..., :3] * 255 + 0.5).astype(np.uint8)
     out[~valid] = 0
     return out

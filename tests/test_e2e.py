@@ -108,11 +108,133 @@ def test_full_pipeline(clip_dir):
     flow_list = json.load(open(pjoin(base, "flow_list.json")))
     assert flow_list[0] == ["frame0", "frame1", "mask_ratio"]
 
+    # the fine_tuned stream lives at the experiment-tag dir (reference
+    # depth_fine_tuning.py:213-215, 363-365)
+    from robust_cvd_tpu.utils.experiment import make_tag
+
     out_dir = proc.out_dir(store.num_frames)
-    fine = pjoin(out_dir, "depth_tiny_fine_tuned", "depth", "frame_000000.raw")
+    ft_dir = pjoin(out_dir, make_tag(cfg))
+    fine = pjoin(ft_dir, "depth", "frame_000000.raw")
     assert os.path.exists(fine)
     from robust_cvd_tpu.io import raw
 
     disp = raw.load_raw_float32_image(fine)
     assert disp.shape == (24, 32)
     assert np.isfinite(disp).all() and (disp >= 0).all()
+
+    # persistence surface: video.dat + flow_constraints.dat are written by a
+    # real pipeline run and round-trip through our readers (reference
+    # pose_optimization.py:240, lib/FlowConstraints.cpp:86-93)
+    from robust_cvd_tpu.io.flow_constraints_dat import load_flow_constraints_dat
+    from robust_cvd_tpu.io.video_dat import load_video_dat
+
+    vd = load_video_dat(pjoin(base, "video.dat"))
+    assert len(vd.pts) == store.num_frames
+    names = [ds.name for ds in vd.depth_streams]
+    assert names[0] == "depth_tiny" and "fine_tuned" in names
+    sep, cpairs, _ = load_flow_constraints_dat(pjoin(base, "flow_constraints.dat"))
+    assert sep == 10 and len(cpairs) > 0
+
+    # stage timings were traced
+    assert os.path.exists(pjoin(out_dir, "stage_timings.json"))
+
+
+def test_fine_tune_artifact_surface(clip_dir):
+    """Validation JSONs, checkpoints, intermediate depth streams, eval
+    images, and the post filter all appear in the result tree
+    (reference depth_fine_tuning.py:343, 415-432, 562-631)."""
+    from robust_cvd_tpu.io.store import VideoStore
+    from robust_cvd_tpu.utils.experiment import make_tag
+
+    cfg = PipelineConfig(
+        path=clip_dir,
+        size=32,
+        align=8,
+        model_type="tiny",
+        min_mask_ratio=-1.0,
+        post_filter=True,
+        opt=PoseOptParams(
+            num_steps=2, ctf_long=3, ctf_short=2,
+            lm_max_outer=4, lm_cg_iters=8,
+        ),
+        ft=FineTuneParams(
+            num_epochs=1, batch_size=2, pose_opt_freq=1,
+            val_epoch_freq=1, save_checkpoints=True, save_epoch_freq=1,
+            save_intermediate_depth_streams_freq=1,
+            save_depth_xform_maps=True, save_tensorboard=False,
+        ),
+    )
+    proc = DatasetProcessor(cfg, models={"depth": TinyDepthAdapter()})
+    store = VideoStore.open(clip_dir)
+    depth = store.load_depth_stream("depth_tiny")
+    proc.fine_tune(store, depth)
+
+    ft_dir = pjoin(proc.out_dir(store.num_frames), make_tag(cfg))
+    # eval: epoch-0 and final validation JSONs in the reference's naming
+    assert os.path.exists(pjoin(ft_dir, "eval", "loss_e0000_iter000000.json"))
+    finals = [
+        n for n in os.listdir(pjoin(ft_dir, "eval"))
+        if n.startswith("loss_e0001")
+    ]
+    assert finals, "final validation json missing"
+    loss_dict = json.load(open(pjoin(ft_dir, "eval", "loss_e0000_iter000000.json")))
+    assert "mean" in loss_dict and "loss" in loss_dict
+    # eval depth images at the edge epochs + scale maps
+    assert any(
+        n.startswith("depth_000000_e0000") and n.endswith(".png")
+        for n in os.listdir(pjoin(ft_dir, "eval"))
+    )
+    assert any(
+        n.startswith("scale_000000_") and n.endswith(".raw")
+        for n in os.listdir(pjoin(ft_dir, "eval"))
+    )
+    # checkpoints
+    assert os.path.isdir(pjoin(ft_dir, "checkpoints", "0001"))
+    # intermediate depth streams: e0000 + e0000_opt (pose_opt_freq=1)
+    assert os.path.exists(pjoin(ft_dir, "depth_e0000", "depth", "frame_000000.raw"))
+    assert os.path.exists(
+        pjoin(ft_dir, "depth_e0000_opt", "depth", "frame_000000.raw")
+    )
+    # post filter output stream nested under the last stream's dir
+    assert os.path.exists(
+        pjoin(
+            ft_dir, "depth_e0000_opt", "e0000_opt_filtered",
+            "depth", "frame_000000.raw",
+        )
+    )
+    # all streams registered in video.dat
+    from robust_cvd_tpu.io.video_dat import load_video_dat
+
+    names = [ds.name for ds in load_video_dat(pjoin(clip_dir, "video.dat")).depth_streams]
+    for expect in ("depth_tiny", "e0000", "e0000_opt", "e0000_opt_filtered"):
+        assert expect in names, names
+
+
+def test_constraint_cache_reused(clip_dir):
+    """Second PoseOptimizer construction must load the cache, not recompute
+    (reference FlowConstraints.cpp:86-93)."""
+    from robust_cvd_tpu.config import PipelineConfig, PoseOptParams
+    from robust_cvd_tpu.io.store import VideoStore
+    from robust_cvd_tpu.pipeline.pose import PoseOptimizer
+    from robust_cvd_tpu.solver import constraints as C
+
+    cfg = PipelineConfig(path=clip_dir, opt=PoseOptParams(dynamic_constraints="None"))
+    store = VideoStore.open(clip_dir)
+    pose1 = PoseOptimizer(cfg, store, "depth_tiny")
+
+    computed = []
+    orig = C.build_pair_constraints
+
+    def spy(*a, **k):
+        computed.append(1)
+        return orig(*a, **k)
+
+    C.build_pair_constraints = spy
+    try:
+        pose2 = PoseOptimizer(cfg, store, "depth_tiny")
+    finally:
+        C.build_pair_constraints = orig
+    assert not computed, "constraints were recomputed despite a valid cache"
+    for k in pose1.pairs:
+        np.testing.assert_allclose(pose2.pairs[k].loc0, pose1.pairs[k].loc0)
+        np.testing.assert_allclose(pose2.pairs[k].loc1, pose1.pairs[k].loc1)

@@ -90,3 +90,49 @@ def test_full_pose_optimization_reduces_residuals():
     assert rms < 0.02, f"joint optimization failed to converge: rms={rms}"
     assert bool(jnp.all(jnp.isfinite(params.pose)))
     assert bool(jnp.all(params.depth_grid > 0))
+
+
+def test_warm_start_equivalent_to_cold_resolve():
+    """Epoch-style alternation: warm-started re-solves must reach a final
+    residual as good as cold reset + full coarse-to-fine re-solves
+    (the reference resets every epoch, pose_optimization.py:195-212)."""
+    opt = _small_opt()  # warm_start=True by default
+    cold_opt = dataclasses.replace(opt, warm_start=False)
+    true, cfg, data = make_scene(num_frames=4, pts_per_pair=24)
+    rng = np.random.default_rng(3)
+    frame_scale = rng.uniform(0.8, 1.25, 4).astype(np.float32)
+    s0 = frame_scale[np.asarray(data.pair[:, 0])][:, None]
+    s1 = frame_scale[np.asarray(data.pair[:, 1])][:, None]
+    data_corrupt = data._replace(
+        depth0=data.depth0 / jnp.asarray(s0),
+        depth1=data.depth1 / jnp.asarray(s1),
+    )
+    inputs = PoseOptInputs(
+        data=data_corrupt,
+        median_depth=jnp.asarray(2.0 / frame_scale),
+        aspect=1.0,
+        num_frames=4,
+    )
+
+    def rms(params):
+        final_cfg = SceneConfig(
+            aspect=1.0,
+            depth_spec=GridSpec(
+                gx=params.depth_grid.shape[3], gy=params.depth_grid.shape[2]
+            ),
+            spatial_spec=GridSpec(),
+            intr_opt=opt.intr_opt,
+            fixed_vfocal=0.5,
+        )
+        r = residuals.static_scene_residuals(params, final_cfg, data_corrupt)
+        return float(jnp.sqrt(jnp.mean(r * r)))
+
+    # 3 epochs of alternation (inputs static here; the pipeline refreshes
+    # depth between epochs, which only shrinks the warm-start delta)
+    warm = cold = None
+    for _ in range(3):
+        warm = pose_opt.run(opt, inputs, initial=warm)
+        cold = pose_opt.run(cold_opt, inputs, initial=cold)
+    warm_rms, cold_rms = rms(warm), rms(cold)
+    assert warm_rms < max(cold_rms * 1.1, cold_rms + 1e-4), (warm_rms, cold_rms)
+    assert bool(jnp.all(warm.depth_grid > 0))

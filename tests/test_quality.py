@@ -1,0 +1,141 @@
+"""Quality harness: the golden scene must separate good depth from bad, and
+the pose/deformation solver must close most of the gap it is given."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from robust_cvd_tpu import quality
+from robust_cvd_tpu.camera import pose_params_to_camera, quat_to_matrix
+from robust_cvd_tpu.ops import geometry
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return quality.golden_scene(num_frames=6, shape=(48, 64))
+
+
+def _metric(scene, depth, ext=None, intr=None):
+    res = quality.clip_photo_consistency(
+        scene.images, depth,
+        scene.extrinsics if ext is None else ext,
+        scene.intrinsics if intr is None else intr,
+        scene.pairs,
+    )
+    return float(res.l1)
+
+
+def test_ground_truth_depth_near_zero(scene):
+    gt = _metric(scene, scene.depth)
+    assert gt < 5e-3, gt
+
+
+def test_perturbed_depth_scores_worse(scene):
+    gt = _metric(scene, scene.depth)
+    bad = _metric(scene, scene.depth * 1.2)
+    assert bad > 5 * max(gt, 1e-4), (gt, bad)
+
+
+def test_valid_ratio_sane(scene):
+    res = quality.clip_photo_consistency(
+        scene.images, scene.depth, scene.extrinsics, scene.intrinsics,
+        scene.pairs,
+    )
+    assert 0.8 < float(res.valid_ratio) <= 1.0
+
+
+def test_solver_recovers_photo_consistency(scene):
+    """Corrupt per-frame depth scales; the solver (normalize + CTF joint
+    optimization from flow constraints) must bring warp photo-consistency
+    most of the way back to the ground-truth level — the geometric core's
+    end-to-end acceptance test."""
+    from robust_cvd_tpu.config import PoseOptParams
+    from robust_cvd_tpu.solver import pose_opt
+    from robust_cvd_tpu.solver import residuals as R
+    from robust_cvd_tpu.solver.pose_opt import PoseOptInputs
+    from robust_cvd_tpu.solver.residuals import ConstraintData
+
+    N = scene.images.shape[0]
+    H, W = scene.depth.shape[1:]
+    aspect = W / H
+    rng = np.random.default_rng(0)
+    frame_scale = rng.uniform(0.7, 1.4, N).astype(np.float32)
+    corrupted = scene.depth * jnp.asarray(1.0 / frame_scale)[:, None, None]
+
+    # constraints: exact correspondences from the analytic scene, depths
+    # sampled from the CORRUPTED stream (what the pipeline would see)
+    pairs = scene.pairs
+    pair = np.asarray(pairs, np.int32)
+    P, C = len(pairs), 64
+    xs = rng.uniform(3, W - 4, (P, C)).astype(np.float32)
+    ys = rng.uniform(3, H - 4, (P, C)).astype(np.float32)
+
+    def sample(img, x, y):
+        return img[np.round(y).astype(int), np.round(x).astype(int)]
+
+    depth_gt0 = np.stack([sample(np.asarray(scene.depth[i]), xs[p], ys[p])
+                          for p, (i, _) in enumerate(pairs)])
+    # project to frame j with GT cameras for exact loc1
+    pix = np.stack([xs, ys], -1)
+    pts = geometry.pixels_to_points(
+        jnp.asarray(np.stack([np.asarray(scene.intrinsics[i]) for i, _ in pairs]))[:, None, :],
+        jnp.asarray(depth_gt0), jnp.asarray(pix),
+    )
+    ext_i = jnp.asarray(np.stack([np.asarray(scene.extrinsics[i]) for i, _ in pairs]))
+    ext_j = jnp.asarray(np.stack([np.asarray(scene.extrinsics[j]) for _, j in pairs]))
+    pts_j = geometry.reproject_points(pts, ext_i[:, None], ext_j[:, None])
+    intr_j = jnp.asarray(np.stack([np.asarray(scene.intrinsics[j]) for _, j in pairs]))
+    loc1_px = np.asarray(geometry.project(pts_j, intr_j[:, None, :]))
+    depth_gt1 = np.asarray(-pts_j[..., 2])
+
+    # pixel -> NDC ([-1,1] x-major) as the solver expects
+    def to_ndc(x, y):
+        return np.stack([x / (W - 1) * 2 - 1, -(y / (H - 1) * 2 - 1)], -1)
+
+    data = ConstraintData(
+        pair=jnp.asarray(pair),
+        loc0=jnp.asarray(to_ndc(xs, ys), jnp.float32),
+        loc1=jnp.asarray(to_ndc(loc1_px[..., 0], loc1_px[..., 1]), jnp.float32),
+        depth0=jnp.asarray(depth_gt0 / frame_scale[pair[:, 0], None]),
+        depth1=jnp.asarray(depth_gt1 / frame_scale[pair[:, 1], None]),
+        weight=jnp.ones((P, C), jnp.float32),
+    )
+    med = jnp.asarray(
+        np.median(np.asarray(corrupted).reshape(N, -1), axis=1).astype(np.float32)
+    )
+    inputs = PoseOptInputs(data=data, median_depth=med, aspect=aspect, num_frames=N)
+    opt = PoseOptParams(
+        num_steps=3, ctf_long=5, ctf_short=3, lm_max_outer=12, lm_cg_iters=24,
+        graduate_deformation_regularization=True, dynamic_constraints="None",
+    )
+    solved = pose_opt.run(opt, inputs)
+
+    # corrected depth + solved cameras -> photo consistency
+    from robust_cvd_tpu.solver.xforms import GridSpec
+    from robust_cvd_tpu.solver import xforms
+
+    gz, gy, gx = solved.depth_grid.shape[1:]
+    scales = jax.vmap(
+        lambda g, d: xforms.depth_param_map(g, GridSpec(gx=gx, gy=gy, gz=gz), (H, W), d)
+    )(solved.depth_grid, corrupted)
+    corrected = corrupted * scales
+
+    cam = pose_params_to_camera(solved.pose, solved.focal, aspect)
+    Rm = jax.vmap(quat_to_matrix)(cam.quaternion)
+    ext = jnp.concatenate([Rm, cam.position[:, :, None]], axis=2)
+    intr = geometry.intrinsics_px(cam.vfov, cam.hfov, (H, W))
+
+    gt_err = _metric(scene, scene.depth)
+    bad_err = _metric(scene, corrupted)
+    solved_err = float(
+        quality.clip_photo_consistency(
+            scene.images, corrected, ext, intr, scene.pairs
+        ).l1
+    )
+    assert bad_err > 3 * gt_err
+    # the solver must close at least 60% of the photo-consistency gap
+    assert solved_err < gt_err + 0.4 * (bad_err - gt_err), (
+        gt_err, bad_err, solved_err,
+    )

@@ -1,17 +1,21 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
 Headline: END-TO-END compute sec/frame for a 100-frame 384p clip
-(BASELINE.md north star): MiDaS-v2 initial depth, RAFT flow over
-hierarchical2 pairs, and 10 fine-tuning epochs each alternating a full
-joint pose/deformation optimization (normalize + 4-step coarse-to-fine LM)
-with a training epoch over all pairs — the reference pipeline's schedule
-(depth_fine_tuning.py: pose_opt_freq=1, num_epochs=10, batch 2).
+(BASELINE.md north star): MiDaS-v2 initial depth, homography
+pre-registration + RAFT flow over ALL hierarchical2 pairs, and 10
+fine-tuning epochs each alternating pose/deformation optimization with a
+training epoch over the full mask-ratio-passing one-way pair set — the
+reference pipeline's schedule (depth_fine_tuning.py: pose_opt_freq=1,
+num_epochs=10, batch 2; loaders/video_dataset.py:124-147 pair set).
+
+Also emits the warp photo-consistency quality gate: on the analytic golden
+scene, the pose/deformation solver must recover most of the consistency gap
+opened by corrupted per-frame depth scales (robust_cvd_tpu/quality.py).
 
 Measured as steady-state device compute on the single TPU chip (weights are
-random — FLOPs are weight-independent; file IO and the host-side homography
-pre-registration are excluded; compiles are persistently cached).
-vs_baseline is null: the reference publishes no numbers (BASELINE.json
-published: {}).
+random — FLOPs are weight-independent; file IO excluded; compiles are
+persistently cached). vs_baseline is null: the reference publishes no
+numbers (BASELINE.json published: {}).
 """
 
 import json
@@ -74,6 +78,101 @@ def make_clip_problem(num_frames=100, samples_per_pair=128, seed=0):
     return inputs, pairs
 
 
+def quality_gate(detail):
+    """Golden-scene photo-consistency: GT floor, corrupted ceiling, and the
+    solver's recovery (the BASELINE quality metric)."""
+    import jax
+    import jax.numpy as jnp
+
+    from robust_cvd_tpu import quality
+    from robust_cvd_tpu.camera import pose_params_to_camera, quat_to_matrix
+    from robust_cvd_tpu.config import PoseOptParams
+    from robust_cvd_tpu.ops import geometry
+    from robust_cvd_tpu.solver import pose_opt, xforms
+    from robust_cvd_tpu.solver.pose_opt import PoseOptInputs
+    from robust_cvd_tpu.solver.residuals import ConstraintData
+    from robust_cvd_tpu.solver.xforms import GridSpec
+
+    scene = quality.golden_scene(num_frames=8, shape=(96, 128))
+    N = scene.images.shape[0]
+    H, W = scene.depth.shape[1:]
+    aspect = W / H
+    rng = np.random.default_rng(0)
+    frame_scale = rng.uniform(0.7, 1.4, N).astype(np.float32)
+    corrupted = scene.depth * jnp.asarray(1.0 / frame_scale)[:, None, None]
+
+    pairs = scene.pairs
+    pair = np.asarray(pairs, np.int32)
+    P, C = len(pairs), 64
+    xs = rng.uniform(3, W - 4, (P, C)).astype(np.float32)
+    ys = rng.uniform(3, H - 4, (P, C)).astype(np.float32)
+    depth_gt0 = np.stack(
+        [
+            np.asarray(scene.depth[i])[
+                np.round(ys[p]).astype(int), np.round(xs[p]).astype(int)
+            ]
+            for p, (i, _) in enumerate(pairs)
+        ]
+    )
+    pix = np.stack([xs, ys], -1)
+    intr_i = jnp.asarray(np.stack([np.asarray(scene.intrinsics[i]) for i, _ in pairs]))
+    pts = geometry.pixels_to_points(intr_i[:, None, :], jnp.asarray(depth_gt0), jnp.asarray(pix))
+    ext_i = jnp.asarray(np.stack([np.asarray(scene.extrinsics[i]) for i, _ in pairs]))
+    ext_j = jnp.asarray(np.stack([np.asarray(scene.extrinsics[j]) for _, j in pairs]))
+    pts_j = geometry.reproject_points(pts, ext_i[:, None], ext_j[:, None])
+    intr_j = jnp.asarray(np.stack([np.asarray(scene.intrinsics[j]) for _, j in pairs]))
+    loc1_px = np.asarray(geometry.project(pts_j, intr_j[:, None, :]))
+    depth_gt1 = np.asarray(-pts_j[..., 2])
+
+    def to_ndc(x, y):
+        return np.stack([x / (W - 1) * 2 - 1, -(y / (H - 1) * 2 - 1)], -1)
+
+    data = ConstraintData(
+        pair=jnp.asarray(pair),
+        loc0=jnp.asarray(to_ndc(xs, ys), jnp.float32),
+        loc1=jnp.asarray(to_ndc(loc1_px[..., 0], loc1_px[..., 1]), jnp.float32),
+        depth0=jnp.asarray(depth_gt0 / frame_scale[pair[:, 0], None]),
+        depth1=jnp.asarray(depth_gt1 / frame_scale[pair[:, 1], None]),
+        weight=jnp.ones((P, C), jnp.float32),
+    )
+    med = jnp.asarray(np.median(np.asarray(corrupted).reshape(N, -1), 1).astype(np.float32))
+    inputs = PoseOptInputs(data=data, median_depth=med, aspect=aspect, num_frames=N)
+    opt = PoseOptParams(
+        num_steps=3, ctf_long=5, ctf_short=3, lm_max_outer=12, lm_cg_iters=24,
+        graduate_deformation_regularization=True,
+    )
+    solved = pose_opt.run(opt, inputs)
+
+    gz, gy, gx = solved.depth_grid.shape[1:]
+    scales = jax.vmap(
+        lambda g, d: xforms.depth_param_map(g, GridSpec(gx=gx, gy=gy, gz=gz), (H, W), d)
+    )(solved.depth_grid, corrupted)
+    corrected = corrupted * scales
+    cam = pose_params_to_camera(solved.pose, solved.focal, aspect)
+    Rm = jax.vmap(quat_to_matrix)(cam.quaternion)
+    ext = jnp.concatenate([Rm, cam.position[:, :, None]], axis=2)
+    intr = geometry.intrinsics_px(cam.vfov, cam.hfov, (H, W))
+
+    def m(depth, e=None, i=None):
+        return float(
+            quality.clip_photo_consistency(
+                scene.images, depth,
+                scene.extrinsics if e is None else e,
+                scene.intrinsics if i is None else i,
+                scene.pairs,
+            ).l1
+        )
+
+    gt, bad = m(scene.depth), m(corrupted)
+    solved_err = m(corrected, ext, intr)
+    detail["photo_consistency_gt_l1"] = round(gt, 6)
+    detail["photo_consistency_corrupted_l1"] = round(bad, 6)
+    detail["photo_consistency_solved_l1"] = round(solved_err, 6)
+    detail["quality_gap_closed"] = round(
+        float(1.0 - (solved_err - gt) / max(bad - gt, 1e-9)), 4
+    )
+
+
 def main():
     from robust_cvd_tpu.parallel.runtime import configure as _configure_jax
     _configure_jax()
@@ -84,6 +183,7 @@ def main():
     from robust_cvd_tpu.config import LossParams, PoseOptParams
     from robust_cvd_tpu.models import raft as raft_mod
     from robust_cvd_tpu.models.midas import MidasNet
+    from robust_cvd_tpu.ops import homography as hg
     from robust_cvd_tpu.solver import pose_opt
     from robust_cvd_tpu.training.fine_tune import (
         build_clip_data,
@@ -118,7 +218,7 @@ def main():
     midas_pass()
     detail["midas_initial_depth_s"] = round(time.perf_counter() - t0, 4)
 
-    # ---- stage 2: RAFT flow on hierarchical2 pairs -------------------------
+    # ---- stage 2: homography pre-registration + RAFT flow ------------------
     inputs, pairs = make_clip_problem(NUM_FRAMES)
     raft = raft_mod.RAFT(iters=20)
     rv = raft.init(
@@ -127,14 +227,31 @@ def main():
     rfwd = jax.jit(lambda v, a, b: raft.apply(v, a, b))
     fb = 16
 
+    def chunk_indices(s):
+        chunk = pairs[s : s + fb]
+        i_idx = jnp.asarray([c[0] for c in chunk] + [0] * (fb - len(chunk)))
+        j_idx = jnp.asarray([c[1] for c in chunk] + [0] * (fb - len(chunk)))
+        return i_idx, j_idx
+
+    def homography_pass():
+        acc = 0.0
+        for s in range(0, len(pairs), fb):
+            i_idx, j_idx = chunk_indices(s)
+            Hs, reg = hg.register_pairs(images[i_idx], images[j_idx])
+            acc = acc + reg.sum()
+        return float(acc)
+
     def raft_pass():
         acc = 0.0
         for s in range(0, len(pairs), fb):
-            chunk = pairs[s : s + fb]
-            i_idx = jnp.asarray([c[0] for c in chunk] + [0] * (fb - len(chunk)))
-            j_idx = jnp.asarray([c[1] for c in chunk] + [0] * (fb - len(chunk)))
+            i_idx, j_idx = chunk_indices(s)
             acc = acc + rfwd(rv, images[i_idx] * 255.0, images[j_idx] * 255.0).sum()
         return float(acc)
+
+    homography_pass()  # warm
+    t0 = time.perf_counter()
+    homography_pass()
+    detail["homography_registration_s"] = round(time.perf_counter() - t0, 4)
 
     raft_pass()  # warm
     t0 = time.perf_counter()
@@ -145,13 +262,14 @@ def main():
     # ---- stage 3+4: alternating pose optimization + fine-tune epochs -------
     opt = PoseOptParams(graduate_deformation_regularization=True)
 
-    # training data: consecutive pairs at full res
+    # training data: the FULL hierarchical2 one-way pair set (the reference's
+    # VideoDataset trains over every mask-ratio-passing sampled pair,
+    # loaders/video_dataset.py:124-147)
     flow_list, flows, masks = [], {}, {}
-    for i in range(NUM_FRAMES - 1):
-        for (a, b) in ((i, i + 1), (i + 1, i)):
-            flow_list.append((a, b, 1.0))
-            flows[(a, b)] = np.zeros((H, W, 2), np.float32)
-            masks[(a, b)] = np.ones((H, W), np.float32)
+    for (i, j) in pairs:
+        flow_list.append((i, j, 1.0))
+        flows[(i, j)] = np.zeros((H, W, 2), np.float32)
+        masks[(i, j)] = np.ones((H, W), np.float32)
     clip = build_clip_data(
         np.asarray(images), np.full((NUM_FRAMES, H, W), 2.0, np.float32),
         flow_list, flows, masks, 0.2,
@@ -160,11 +278,14 @@ def main():
     opt_state = optimizer.init(mv["params"])
     step = make_train_step(midas, LossParams(), optimizer, use_temporal=False)
     P_train = int(clip.pair_idx.shape[0])
+    detail["num_train_pairs"] = P_train
     bsz = 2
 
     # warm-up compiles (persistently cached for the driver's run)
     params = pose_opt.run(opt, inputs, focal=jnp.full((NUM_FRAMES,), 0.5))
     jax.block_until_ready(params.pose)
+    warm_params = pose_opt.run(opt, inputs, initial=params)  # warm-start path
+    jax.block_until_ready(warm_params.pose)
     ps = pose_state_from_solver(params, (H, W), 16 / 9, clip.depth_orig)
     o = step(mv["params"], mv["batch_stats"], opt_state, jnp.asarray([0, 1]), clip, ps, mv["params"])
     jax.block_until_ready(o[3])
@@ -183,8 +304,10 @@ def main():
         t_pose += time.perf_counter() - t1
         t1 = time.perf_counter()
         order = np.random.default_rng(epoch).permutation(P_train)
-        for s in range(0, P_train - bsz + 1, bsz):
+        for s in range(0, P_train, bsz):
             ids = jnp.asarray(order[s : s + bsz], jnp.int32)
+            if ids.shape[0] < bsz:  # keep the tail pair, pad the gather
+                ids = jnp.concatenate([ids, ids[-1:]])
             p, bs, ostate, loss, _ = step(p, bs, ostate, ids, clip, ps, mv["params"])
         # the chained (p, bs, ostate) dependencies force every step; sync:
         float(loss)
@@ -192,8 +315,12 @@ def main():
     detail["pose_opt_total_s"] = round(t_pose, 4)
     detail["fine_tune_total_s"] = round(t_train, 4)
 
+    # ---- quality gate -------------------------------------------------------
+    quality_gate(detail)
+
     e2e = (
         detail["midas_initial_depth_s"]
+        + detail["homography_registration_s"]
         + detail["raft_flow_s"]
         + t_pose
         + t_train
@@ -202,8 +329,9 @@ def main():
     detail["num_epochs"] = NUM_EPOCHS
     detail["device"] = str(jax.devices()[0])
     detail["note"] = (
-        "steady-state device compute, random weights; file IO and host-side "
-        "homography pre-registration excluded"
+        "steady-state device compute, random weights; trains over the full "
+        "hierarchical2 one-way pair set incl. trailing batch; homography "
+        "registration included; file IO excluded"
     )
 
     print(

@@ -82,6 +82,9 @@ class PoseOptParams:
     use_global_scale: bool = False
     epipolar_dist_thresh: float = 2.0
     dynamic_constraints: str = "Mask"
+    # Depth value transform: Scale (reference pipeline default) or
+    # ScaleShift (reference lib/ValueTransform.h:57-94).
+    value_xform: str = "Scale"
 
     # LM solver knobs (new; no reference equivalent — Ceres internals).
     lm_lambda_init: float = 1e-3

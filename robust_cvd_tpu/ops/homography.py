@@ -26,6 +26,8 @@ from .. import native
 from ..solver.constraints import corner_min_eigenval, rgb_to_gray
 from . import geometry
 
+_HI = jax.lax.Precision.HIGHEST
+
 
 def detect_keypoints(
     gray: np.ndarray, max_keypoints: int = 1024, separation: int = 8
@@ -144,24 +146,214 @@ def register_pair(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Compute H_BA (frame2 -> frame1 coords) and frame2 registered into
     frame1's frame (reference getimage, :139-173). Falls back to identity
-    on degenerate matches (reference :151-163)."""
-    identity = np.eye(3, dtype=np.float32)
-    g1 = rgb_to_gray(img1)
-    g2 = rgb_to_gray(img2)
-    kps1 = detect_keypoints(g1, max_keypoints)
-    kps2 = detect_keypoints(g2, max_keypoints)
-    if len(kps1) < 8 or len(kps2) < 8:
-        return identity, img2
-    d1 = patch_descriptors(g1, kps1)
-    d2 = patch_descriptors(g2, kps2)
-    matches = match_ratio(d2, d1)  # B -> A
-    if len(matches) <= 4:
-        return identity, img2
-    H_BA = find_homography_ransac(kps2[matches[:, 0]], kps1[matches[:, 1]])
-    if H_BA is None or not np.all(np.isfinite(np.linalg.inv(H_BA))):
-        return identity, img2
-    reg = np.asarray(warp_perspective(jnp.asarray(img2), H_BA))
+    on degenerate matches (reference :151-163).
+
+    Thin single-pair wrapper over the batched TPU path."""
+    Hs, regs = register_pairs(img1[None], img2[None])
+    return np.asarray(Hs[0]), np.asarray(regs[0])
+
+
+# ---------------------------------------------------------------------------
+# Batched TPU registration: detection (NMS + top-k), patch descriptors
+# (vectorized gather), matching (one MXU matmul), DLT-RANSAC (batched
+# 9x9 eigendecompositions) — ONE jitted program for a whole pair chunk.
+# The host pipeline above (greedy corner sampling + numpy RANSAC) costs
+# ~750 ms/pair on this 1-core host; the batched program amortizes to
+# milliseconds/pair on the TPU.
+# ---------------------------------------------------------------------------
+
+_PATCH_RADIUS = 7
+_RANSAC_ITERS = 256
+_RANSAC_THRESH = 4.0
+_LOWE_RATIO = 0.75
+
+
+def _nms_topk(resp: jnp.ndarray, k: int, border: int = 8):
+    """(B, H, W) corner response -> strongest-first keypoints after 3x3
+    non-max suppression. Returns xs, ys (B, K) float32 and valid (B, K)."""
+    B, H, W = resp.shape
+    pooled = jax.lax.reduce_window(
+        resp, -jnp.inf, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME"
+    )
+    resp = jnp.where(resp >= pooled, resp, 0.0)
+    ys_i = jnp.arange(H)[None, :, None]
+    xs_i = jnp.arange(W)[None, None, :]
+    inb = (
+        (ys_i >= border) & (ys_i < H - border)
+        & (xs_i >= border) & (xs_i < W - border)
+    )
+    resp = jnp.where(inb, resp, 0.0)
+    vals, idx = jax.lax.top_k(resp.reshape(B, -1), k)
+    ys = (idx // W).astype(jnp.float32)
+    xs = (idx % W).astype(jnp.float32)
+    return xs, ys, vals > 1e-8
+
+
+def _patch_descriptors_b(gray: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray):
+    """(B, H, W) + keypoints (B, K) -> unit-norm patch descriptors
+    (B, K, (2r+1)^2)."""
+    r = _PATCH_RADIUS
+    size = 2 * r + 1
+    pad = jnp.pad(gray, ((0, 0), (r, r), (r, r)), mode="edge")
+    dy, dx = jnp.meshgrid(jnp.arange(size), jnp.arange(size), indexing="ij")
+    offs_y = dy.reshape(-1)[None, None, :]  # (1, 1, P)
+    offs_x = dx.reshape(-1)[None, None, :]
+    yy = ys.astype(jnp.int32)[:, :, None] + offs_y  # (B, K, P); +r-r cancels
+    xx = xs.astype(jnp.int32)[:, :, None] + offs_x
+
+    def gather(g, y, x):
+        return g[y, x]
+
+    patches = jax.vmap(gather)(pad, yy, xx)  # (B, K, P)
+    patches = patches - patches.mean(axis=-1, keepdims=True)
+    n = jnp.linalg.norm(patches, axis=-1, keepdims=True)
+    return patches / jnp.maximum(n, 1e-8)
+
+
+def _norm_pts(pts: jnp.ndarray, w: jnp.ndarray):
+    """Hartley normalization: weighted shift to centroid + scale to RMS
+    sqrt(2). pts (..., K, 2), w (..., K) -> (normalized pts, T (..., 3, 3))."""
+    wsum = jnp.maximum(w.sum(-1, keepdims=True), 1e-6)
+    mean = (pts * w[..., None]).sum(-2, keepdims=True) / wsum[..., None]
+    centered = pts - mean
+    rms = jnp.sqrt(
+        ((centered**2).sum(-1) * w).sum(-1, keepdims=True) / wsum
+    )
+    s = jnp.sqrt(2.0) / jnp.maximum(rms, 1e-6)  # (..., 1)
+    pn = centered * s[..., None]
+    z = jnp.zeros_like(s)
+    one = jnp.ones_like(s)
+    T = jnp.stack(
+        [
+            jnp.concatenate([s, z, -s * mean[..., 0, 0:1]], -1),
+            jnp.concatenate([z, s, -s * mean[..., 0, 1:2]], -1),
+            jnp.concatenate([z, z, one], -1),
+        ],
+        axis=-2,
+    )
+    return pn, T
+
+
+def _dlt_weighted(ptsA: jnp.ndarray, ptsB: jnp.ndarray, w: jnp.ndarray):
+    """Weighted DLT via the smallest eigenvector of AᵀA (9x9 eigh — TPU
+    friendly), with Hartley-normalized coordinates for f32 stability.
+    ptsA/ptsB (..., K, 2), w (..., K) -> H (..., 3, 3) mapping A -> B."""
+    pa, Ta = _norm_pts(ptsA, w)
+    pb, Tb = _norm_pts(ptsB, w)
+    x, y = pa[..., 0], pa[..., 1]
+    u, v = pb[..., 0], pb[..., 1]
+    zeros = jnp.zeros_like(x)
+    ones = jnp.ones_like(x)
+    r1 = jnp.stack([x, y, ones, zeros, zeros, zeros, -u * x, -u * y, -u], -1)
+    r2 = jnp.stack([zeros, zeros, zeros, x, y, ones, -v * x, -v * y, -v], -1)
+    A = jnp.concatenate([r1, r2], axis=-2) * jnp.concatenate(
+        [w, w], axis=-1
+    )[..., None]
+    M = jnp.einsum("...ki,...kj->...ij", A, A, precision=_HI)
+    _, vecs = jnp.linalg.eigh(M)
+    h = vecs[..., :, 0]  # smallest eigenvalue's eigenvector
+    Hn = h.reshape(h.shape[:-1] + (3, 3))
+    # denormalize: H = Tb^-1 Hn Ta
+    H = jnp.linalg.solve(Tb, Hn @ Ta)
+    scale = H[..., 2:3, 2:3]
+    return H / jnp.where(jnp.abs(scale) > 1e-12, scale, 1.0)
+
+
+def _apply_h_j(H: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    ones = jnp.ones(pts.shape[:-1] + (1,), pts.dtype)
+    ph = jnp.concatenate([pts, ones], axis=-1)
+    out = jnp.einsum("...ij,...kj->...ki", H, ph, precision=_HI)
+    z = out[..., 2:]
+    return out[..., :2] / jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)
+
+
+def _register_batch(im1: jnp.ndarray, im2: jnp.ndarray, sel: jnp.ndarray,
+                    max_keypoints: int):
+    """(B, H, W, 3) x2 + hypothesis index table (S, 4) ->
+    (H_BA (B, 3, 3), registered im2 (B, H, W, 3))."""
+    B, H, W, _ = im1.shape
+    g1 = (
+        0.299 * im1[..., 0] + 0.587 * im1[..., 1] + 0.114 * im1[..., 2]
+    )
+    g2 = (
+        0.299 * im2[..., 0] + 0.587 * im2[..., 1] + 0.114 * im2[..., 2]
+    )
+    resp1 = corner_min_eigenval(g1)
+    resp2 = corner_min_eigenval(g2)
+    x1, y1, v1 = _nms_topk(resp1, max_keypoints)
+    x2, y2, v2 = _nms_topk(resp2, max_keypoints)
+    d1 = _patch_descriptors_b(g1, x1, y1)
+    d2 = _patch_descriptors_b(g2, x2, y2)
+
+    # Lowe-ratio matching B (frame2) -> A (frame1): one MXU matmul
+    sim = jnp.einsum("bkd,bld->bkl", d2, d1, precision=_HI)  # (B, K2, K1)
+    sim = jnp.where(v1[:, None, :], sim, -jnp.inf)
+    top2, idx2 = jax.lax.top_k(sim, 2)
+    best = idx2[..., 0]  # (B, K)
+    dd1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * top2[..., 0], 0.0))
+    dd2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * top2[..., 1], 0.0))
+    good = (dd1 < _LOWE_RATIO * dd2) & v2
+    w = good.astype(jnp.float32)  # (B, K)
+
+    ptsA = jnp.stack([x2, y2], -1)  # frame2 keypoints (B, K, 2)
+    ptsB = jnp.take_along_axis(
+        jnp.stack([x1, y1], -1), best[..., None], axis=1
+    )  # matched frame1 points
+
+    # RANSAC: S fixed hypothesis quadruples, all solved at once
+    selA = ptsA[:, sel]  # (B, S, 4, 2)
+    selB = ptsB[:, sel]
+    selw = w[:, sel]  # (B, S, 4)
+    hyp_ok = jnp.all(selw > 0, axis=-1)  # (B, S)
+    Hs = _dlt_weighted(selA, selB, jnp.ones_like(selw))  # (B, S, 3, 3)
+    proj = _apply_h_j(Hs, ptsA[:, None])  # (B, S, K, 2)
+    err = jnp.linalg.norm(proj - ptsB[:, None], axis=-1)
+    inl = (err < _RANSAC_THRESH) & (w[:, None] > 0)  # (B, S, K)
+    counts = jnp.where(hyp_ok, inl.sum(-1), -1)
+    best_hyp = jnp.argmax(counts, axis=1)  # (B,)
+    best_inl = jnp.take_along_axis(
+        inl, best_hyp[:, None, None], axis=1
+    )[:, 0].astype(jnp.float32)  # (B, K)
+
+    # weighted refit on the winning inlier set
+    H_fit = _dlt_weighted(ptsA, ptsB, best_inl)
+    n_inl = best_inl.sum(-1)
+    ok = (n_inl >= 8) & jnp.all(jnp.isfinite(H_fit), axis=(-2, -1))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
+    H_BA = jnp.where(ok[:, None, None], H_fit, eye)
+
+    # inverse-warp im2 through H_BA (cv2.warpPerspective semantics)
+    Hinv = jnp.linalg.inv(H_BA)
+    pix = geometry.pixel_grid((H, W)).reshape(-1, 2)
+    src = _apply_h_j(Hinv[:, None], pix[None, None])[:, 0].reshape(B, H, W, 2)
+    reg = jax.vmap(geometry.grid_sample)(im2, src)
     return H_BA, reg
+
+
+_register_jit = jax.jit(_register_batch, static_argnums=(3,))
+
+
+def _hypothesis_table(max_keypoints: int, seed: int = 0) -> np.ndarray:
+    """4 distinct indices per hypothesis, drawn from the strongest-first
+    keypoint prefix (keypoints are top-k ordered, so low indices are the
+    most reliable; sampling the full range would make most hypotheses hit
+    invalid slots on lightly-textured frames)."""
+    rng = np.random.default_rng(seed)
+    pool = min(max_keypoints, 96)
+    order = np.argsort(rng.random((_RANSAC_ITERS, pool)), axis=1)
+    return order[:, :4].astype(np.int32)
+
+
+def register_pairs(
+    im1: np.ndarray, im2: np.ndarray, max_keypoints: int = 1024
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched pre-registration: frames2 -> frames1 homographies + the
+    registered frames, as one fused TPU program. (B, H, W, 3) each."""
+    sel = jnp.asarray(_hypothesis_table(max_keypoints))
+    return _register_jit(
+        jnp.asarray(im1, jnp.float32), jnp.asarray(im2, jnp.float32), sel,
+        max_keypoints,
+    )
 
 
 def unwarp_flow(flow_reg: np.ndarray, H_BA: np.ndarray) -> np.ndarray:

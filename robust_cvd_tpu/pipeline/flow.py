@@ -126,17 +126,19 @@ class FlowStage:
             im2 = np.stack(
                 [load_png_color(pjoin(flow_dir, frame_name(j, ".png"))) for _, j in chunk]
             )
-            # homography pre-registration (reference
-            # optical_flow_homography.py:139-173): RAFT sees frame2 warped
-            # into frame1's frame; flow is un-warped through H^-1 after.
-            Hs = [np.eye(3, dtype=np.float32)] * len(chunk)
-            if self.homography:
-                for k in range(len(chunk)):
-                    Hs[k], im2[k] = hg.register_pair(im1[k], im2[k])
             pad = B - len(chunk)
             if pad:
                 im1 = np.concatenate([im1, im1[-1:].repeat(pad, 0)])
                 im2 = np.concatenate([im2, im2[-1:].repeat(pad, 0)])
+            # homography pre-registration (reference
+            # optical_flow_homography.py:139-173): RAFT sees frame2 warped
+            # into frame1's frame; flow is un-warped through H^-1 after.
+            # One fused TPU program registers the whole chunk.
+            Hs = [np.eye(3, dtype=np.float32)] * B
+            if self.homography:
+                Hs_b, reg = hg.register_pairs(im1, im2)
+                Hs = np.asarray(Hs_b)
+                im2 = np.asarray(reg)
             flows = np.asarray(
                 run(jnp.asarray(im1 * 255.0), jnp.asarray(im2 * 255.0))
             )

@@ -41,11 +41,59 @@ class PoseOptimizer:
         self.store = store
         self.depth_stream = depth_stream
         self.solver_params: Optional[SolverParams] = None
+        self.initial_camera = None  # imported GT/COLMAP poses, if any
+        self.enabled_frames = None
         # stream 0 lives at <base>/<name>/depth (reference Importer layout)
-        self.streams: List[DepthStreamRef] = [
+        self.streams: List[DepthStreamRef] = []
+        self._import_external_streams()
+        self.streams.append(
             DepthStreamRef(depth_stream, pjoin(store.base_dir, depth_stream))
-        ]
+        )
         self._build_constraints()
+
+    def _import_external_streams(self):
+        """Register GT depth/pose and COLMAP reconstruction streams before
+        the estimated stream (reference pose_optimization.py:119-159: the
+        LAST stream is the optimized one; earlier streams carry imported
+        geometry, and COLMAP poses seed the estimated stream)."""
+        from ..io import importers
+
+        base = self.store.base_dir
+        store = self.store
+
+        gt_dir = pjoin(base, "depth_gt")
+        if os.path.isdir(gt_dir):
+            self.streams.append(DepthStreamRef("depth_gt", gt_dir))
+            poses_file = pjoin(gt_dir, "poses.txt")
+            if os.path.exists(poses_file):
+                cam, enabled = importers.import_poses(
+                    poses_file, store.num_frames
+                )
+                self.initial_camera = cam
+                self.enabled_frames = enabled
+
+        colmap_meta = pjoin(base, "colmap_dense", "metadata.npz")
+        colmap_depth = pjoin(base, "depth_colmap_dense")
+        if os.path.exists(colmap_meta) and os.path.isdir(colmap_depth):
+            imported = pjoin(base, "depth_colmap_dense_imported")
+            if not os.path.isdir(pjoin(imported, "depth")):
+                importers.import_colmap_depth(
+                    pjoin(colmap_depth, "depth")
+                    if os.path.isdir(pjoin(colmap_depth, "depth"))
+                    else colmap_depth,
+                    pjoin(imported, "depth"),
+                    base,
+                )
+            self.streams.append(DepthStreamRef("colmap_dense", imported))
+            cam, enabled = importers.import_colmap_recon(
+                base, colmap_meta,
+                pjoin(imported, "depth"),
+                store.num_frames,
+            )
+            # COLMAP poses seed the estimated stream
+            # (reference pose_optimization.py:152-158 copy_poses)
+            self.initial_camera = cam
+            self.enabled_frames = enabled
 
     # -- depth-stream registry (reference pose_optimization.py:242-326) -----
 
@@ -330,10 +378,24 @@ class PoseOptimizer:
     # -- optimization (reference pose_optimization.py:177-240) ---------------
 
     def optimize_poses(self) -> SolverParams:
+        import dataclasses
+
         inputs = self._make_inputs()
-        self.solver_params = pose_opt.run(
-            self.cfg.opt, inputs, initial=self.solver_params
-        )
+        initial = self.solver_params
+        opt = self.cfg.opt
+        if initial is None and self.initial_camera is not None:
+            # seed from imported GT/COLMAP poses
+            # (reference pose_optimization.py:152-158); this is a fresh
+            # solve from seeded poses, so the full cold schedule runs
+            from ..camera import camera_to_pose_params
+
+            pose, focal = camera_to_pose_params(self.initial_camera)
+            initial = pose_opt.default_solver_params(
+                self.store.num_frames, focal,
+                getattr(opt, "value_xform", "Scale"),
+            )._replace(pose=pose)
+            opt = dataclasses.replace(opt, warm_start=False)
+        self.solver_params = pose_opt.run(opt, inputs, initial=initial)
         self.last_inputs = inputs
         return self.solver_params
 
@@ -363,11 +425,12 @@ class PoseOptimizer:
         N = store.num_frames
 
         gz, gy, gx = sp.depth_grid.shape[1:]
+        vx = "Scale" if sp.depth_shift is None else "ScaleShift"
         if (gx, gy, gz) == (1, 1, 1):
-            ddesc = vd.XformDesc(type="Depth", depth_type="Global", value_xform="Scale")
+            ddesc = vd.XformDesc(type="Depth", depth_type="Global", value_xform=vx)
         else:
             ddesc = vd.XformDesc(
-                type="Depth", depth_type="Grid", value_xform="Scale",
+                type="Depth", depth_type="Grid", value_xform=vx,
                 grid_size=(gx, gy, gz),
             )
         sy, sx = sp.spatial_grid.shape[1:3]
@@ -389,7 +452,19 @@ class PoseOptimizer:
                     position=tuple(np.asarray(cam.position[i], float)),
                     quaternion=tuple(np.asarray(cam.quaternion[i], float)),
                     enabled=True,
-                    depth_params=np.asarray(sp.depth_grid[i], np.float64).reshape(-1),
+                    # ScaleShift interleaves [scale, shift] per handle
+                    # (reference ValueXform param blocks)
+                    depth_params=(
+                        np.asarray(sp.depth_grid[i], np.float64).reshape(-1)
+                        if sp.depth_shift is None
+                        else np.stack(
+                            [
+                                np.asarray(sp.depth_grid[i], np.float64).reshape(-1),
+                                np.asarray(sp.depth_shift[i], np.float64).reshape(-1),
+                            ],
+                            axis=-1,
+                        ).reshape(-1)
+                    ),
                     spatial_params=(
                         np.asarray(sp.spatial_grid[i], np.float64).reshape(-1)
                         if (sx, sy) != (1, 1)

@@ -247,6 +247,7 @@ def solve(
 
 def make_mask(params, fix_poses=False, fix_focal=False, fix_depth=False, fix_spatial=False):
     """0/1 mask pytree matching SolverParams-like namedtuples."""
+    shift = getattr(params, "depth_shift", None)
     return type(params)(
         pose=jnp.zeros_like(params.pose) if fix_poses else jnp.ones_like(params.pose),
         focal=jnp.zeros_like(params.focal) if fix_focal else jnp.ones_like(params.focal),
@@ -256,4 +257,7 @@ def make_mask(params, fix_poses=False, fix_focal=False, fix_depth=False, fix_spa
         spatial_grid=jnp.zeros_like(params.spatial_grid)
         if fix_spatial
         else jnp.ones_like(params.spatial_grid),
+        depth_shift=None
+        if shift is None
+        else (jnp.zeros_like(shift) if fix_depth else jnp.ones_like(shift)),
     )

@@ -80,14 +80,22 @@ def ctf_grid_schedule(opt: PoseOptParams, aspect: float) -> list:
     return sizes[: opt.num_steps]
 
 
-def default_solver_params(num_frames: int, focal: jnp.ndarray) -> SolverParams:
+def default_solver_params(
+    num_frames: int, focal: jnp.ndarray, value_xform: str = "Scale"
+) -> SolverParams:
     """Fresh Global(Scale)/Identity transforms (reference
-    pose_optimization.py:195-207 Reset* ops)."""
+    pose_optimization.py:195-207 Reset* ops). value_xform "ScaleShift" adds
+    additive handles (reference lib/ValueTransform.h:57-94)."""
     return SolverParams(
         pose=jnp.zeros((num_frames, 6), jnp.float32),
         focal=focal,
         depth_grid=jnp.ones((num_frames, 1, 1, 1), jnp.float32),
         spatial_grid=jnp.zeros((num_frames, 1, 1, 2), jnp.float32),
+        depth_shift=(
+            jnp.zeros((num_frames, 1, 1, 1), jnp.float32)
+            if value_xform == "ScaleShift"
+            else None
+        ),
     )
 
 
@@ -239,6 +247,12 @@ def normalize_depth(
         solved = solved._replace(
             depth_grid=jnp.broadcast_to(first, solved.depth_grid.shape)
         )
+        if solved.depth_shift is not None:
+            solved = solved._replace(
+                depth_shift=jnp.broadcast_to(
+                    solved.depth_shift[0:1], solved.depth_shift.shape
+                )
+            )
     return solved
 
 
@@ -313,6 +327,12 @@ def optimize_poses(
                     params.depth_grid, GridSpec(gx=gx, gy=gy, gz=gz)
                 )
             )
+            if params.depth_shift is not None:
+                params = params._replace(
+                    depth_shift=xforms.split_grid(
+                        params.depth_shift, GridSpec(gx=gx, gy=gy, gz=gz)
+                    )
+                )
 
     if opt.deferred_spatial_opt:
         dso_rows, dso_cols = opt.dso_long, opt.dso_short
@@ -369,17 +389,23 @@ def run(
     """
     if initial is not None and opt.warm_start:
         return _warm_run(opt, inputs, initial)
+    value_xform = getattr(opt, "value_xform", "Scale")
     if initial is None:
         if focal is None:
             focal = jnp.full(
                 (inputs.num_frames,), _v_focal(opt, inputs.aspect), jnp.float32
             )
-        initial = default_solver_params(inputs.num_frames, focal)
+        initial = default_solver_params(inputs.num_frames, focal, value_xform)
     else:
         # Reset transforms, keep poses/focal (reference resets each epoch).
         initial = initial._replace(
             depth_grid=jnp.ones((inputs.num_frames, 1, 1, 1), jnp.float32),
             spatial_grid=jnp.zeros((inputs.num_frames, 1, 1, 2), jnp.float32),
+            depth_shift=(
+                jnp.zeros((inputs.num_frames, 1, 1, 1), jnp.float32)
+                if value_xform == "ScaleShift"
+                else None
+            ),
         )
 
     params = normalize_depth(opt, inputs, initial)
@@ -392,6 +418,11 @@ def run(
         params = params._replace(
             depth_grid=jnp.ones((inputs.num_frames, 1, 1, 1), jnp.float32),
             spatial_grid=jnp.zeros((inputs.num_frames, 1, 1, 2), jnp.float32),
+            depth_shift=(
+                jnp.zeros((inputs.num_frames, 1, 1, 1), jnp.float32)
+                if params.depth_shift is not None
+                else None
+            ),
         )
         params = normalize_depth(gs_opt, inputs, params)
         params = optimize_poses(gs_opt, inputs, params)

@@ -43,12 +43,17 @@ class SolverParams(NamedTuple):
     focal:        (N,)    tan(vFov / 2) per frame
     depth_grid:   (N, gz, gy, gx) multiplicative scale handles
     spatial_grid: (N, sy, sx, 2)  NDC warp handles
+    depth_shift:  optional (N, gz, gy, gx) additive handles — present only
+                  for the ScaleShift value transform (reference
+                  lib/ValueTransform.h:57-94: dst = src * p0 + p1; the
+                  pipeline's default is Scale, dst = src * p0)
     """
 
     pose: jnp.ndarray
     focal: jnp.ndarray
     depth_grid: jnp.ndarray
     spatial_grid: jnp.ndarray
+    depth_shift: jnp.ndarray | None = None
 
 
 class ConstraintData(NamedTuple):
@@ -214,6 +219,16 @@ def observation_to_camera(
     dgrid_rows = params.depth_grid.reshape(params.depth_grid.shape[0], -1)[frames]
     scale = _eval_depth_scale_rows(dgrid_rows, cfg.depth_spec, loc, src_depth, dW)
     depth = src_depth * scale
+    if params.depth_shift is not None:
+        # ScaleShift value transform: dst = src * p0 + p1 (reference
+        # lib/ValueTransform.h:77-94); the shift handles share the scale
+        # handles' interpolation taps
+        shift_rows = params.depth_shift.reshape(
+            params.depth_shift.shape[0], -1
+        )[frames]
+        depth = depth + _eval_depth_scale_rows(
+            shift_rows, cfg.depth_spec, loc, src_depth, dW
+        )
 
     sgrid_rows = params.spatial_grid.reshape(
         params.spatial_grid.shape[0], -1, 2
@@ -385,6 +400,14 @@ def scale_reg_residuals(
     else:
         scale = _eval_depth_scale_rows(rows, cfg.depth_spec, locs, med)
     depth = med * scale
+    if params.depth_shift is not None:
+        srows = params.depth_shift.reshape(N, -1)
+        if W is not None:
+            depth = depth + jnp.einsum("ngk,nk->ng", W, srows, precision=_HI)
+        else:
+            depth = depth + _eval_depth_scale_rows(
+                srows, cfg.depth_spec, locs, med
+            )
     return 1.0 / jnp.maximum(depth, _EPS) - 1.0
 
 
@@ -468,6 +491,9 @@ def build_residual_fn(
             else:
                 r_def = r_def * depth_deform_weight
             parts.append(r_def.reshape(-1))
+            if params.depth_shift is not None:
+                r_sh = xforms.shift_deform_residuals(params.depth_shift)
+                parts.append((r_sh * depth_deform_weight).reshape(-1))
 
         if opt.spatial_deformation_regularization > 0.0:
             r_sp = xforms.spatial_deform_residuals(params.spatial_grid)

@@ -327,6 +327,26 @@ def adaptive_deform_weights(
     return jnp.asarray(out)
 
 
+def shift_deform_residuals(grid: jnp.ndarray) -> jnp.ndarray:
+    """Absolute differences along all grid edges for ScaleShift's additive
+    handles. The reference's relative-difference deformation cost
+    (.cpp:631-667) is ill-conditioned around the shift handles' zero
+    initialization, and the reference pipeline never exercises grid
+    ScaleShift transforms — absolute differences are the well-conditioned
+    equivalent smoothness prior."""
+    parts = []
+    if grid.shape[-1] > 1:
+        parts.append(grid[..., :, :, 1:] - grid[..., :, :, :-1])
+    if grid.shape[-2] > 1:
+        parts.append(grid[..., :, 1:, :] - grid[..., :, :-1, :])
+    if grid.shape[-3] > 1:
+        parts.append(grid[..., 1:, :, :] - grid[..., :-1, :, :])
+    if not parts:
+        return jnp.zeros(grid.shape[:-3] + (0,), grid.dtype)
+    batch = grid.shape[:-3]
+    return jnp.concatenate([p.reshape(batch + (-1,)) for p in parts], axis=-1)
+
+
 def spatial_deform_residuals(grid: jnp.ndarray) -> jnp.ndarray:
     """Spatial deformation cost = the warp handles themselves
     (reference paramsToResiduals, .cpp:59-70). grid: (..., gy, gx, 2)."""

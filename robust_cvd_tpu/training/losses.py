@@ -389,6 +389,8 @@ def joint_loss(
         batch_losses.update(bl)
 
     if opt.lambda_contrast_loss > 0:
-        total = total + contrast_loss(depths_orig, depths, opt)
+        c = contrast_loss(depths_orig, depths, opt)
+        total = total + c
+        batch_losses["contrast"] = c[None]
 
     return total, batch_losses

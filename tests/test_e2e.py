@@ -238,3 +238,53 @@ def test_constraint_cache_reused(clip_dir):
     for k in pose1.pairs:
         np.testing.assert_allclose(pose2.pairs[k].loc0, pose1.pairs[k].loc0)
         np.testing.assert_allclose(pose2.pairs[k].loc1, pose1.pairs[k].loc1)
+
+
+def test_gt_pose_stream_import(tmp_path):
+    """A depth_gt stream with poses.txt is registered before the estimated
+    stream and seeds the solver's initial poses
+    (reference pose_optimization.py:119-131)."""
+    from robust_cvd_tpu.config import PipelineConfig, PoseOptParams
+    from robust_cvd_tpu.io import raw
+    from robust_cvd_tpu.io.store import VideoStore
+    from robust_cvd_tpu.pipeline.pose import PoseOptimizer
+
+    base = str(tmp_path)
+    rng = np.random.default_rng(0)
+    H, W, N = 24, 32, 3
+    save_frames_txt(pjoin(base, "frames.txt"), W, H, [i / 30 for i in range(N)])
+    store = VideoStore.open(base)
+    store.color_down = rng.uniform(0, 1, (N, H, W, 3)).astype(np.float32)
+    depth = np.full((N, H, W), 2.0, np.float32)
+    store.save_depth_stream("depth_tiny", depth)
+    for i in range(N - 1):
+        for (a, b) in ((i, i + 1), (i + 1, i)):
+            store.save_flow(a, b, np.zeros((H, W, 2), np.float32))
+            store.save_flow_mask(a, b, np.ones((H, W), bool))
+    store.save_flow_list(
+        [(a, b, 1.0) for i in range(N - 1) for (a, b) in ((i, i + 1), (i + 1, i))]
+    )
+
+    gt_dir = pjoin(base, "depth_gt")
+    os.makedirs(pjoin(gt_dir, "depth"), exist_ok=True)
+    for i in range(N):
+        raw.save_raw_float32_image(
+            pjoin(gt_dir, "depth", f"frame_{i:06d}.raw"), 1.0 / depth[i]
+        )
+    with open(pjoin(gt_dir, "poses.txt"), "w") as f:
+        f.write(f"{N}\n")
+        for i in range(N):
+            f.write(f"{0.1 * i} 0 0  0 0 0 1  0.9 0.7\n")
+
+    cfg = PipelineConfig(
+        path=base, opt=PoseOptParams(dynamic_constraints="None")
+    )
+    pose = PoseOptimizer(cfg, store, "depth_tiny")
+    assert pose.streams[0].name == "depth_gt"
+    assert pose.streams[-1].name == "depth_tiny"
+    assert pose.initial_camera is not None
+    np.testing.assert_allclose(
+        np.asarray(pose.initial_camera.position[:, 0]),
+        0.1 * np.arange(N), atol=1e-6,
+    )
+    assert pose.enabled_frames.all()

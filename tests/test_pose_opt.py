@@ -136,3 +136,51 @@ def test_warm_start_equivalent_to_cold_resolve():
     warm_rms, cold_rms = rms(warm), rms(cold)
     assert warm_rms < max(cold_rms * 1.1, cold_rms + 1e-4), (warm_rms, cold_rms)
     assert bool(jnp.all(warm.depth_grid > 0))
+
+
+def test_scale_shift_value_transform():
+    """Depths corrupted by per-frame scale AND shift: the ScaleShift value
+    transform recovers consistency where Scale alone cannot
+    (reference lib/ValueTransform.h:57-94)."""
+    opt = dataclasses.replace(_small_opt(), value_xform="ScaleShift")
+    scale_opt = _small_opt()
+    true, cfg, data = make_scene(num_frames=4, pts_per_pair=24)
+    rng = np.random.default_rng(11)
+    frame_scale = rng.uniform(0.8, 1.25, 4).astype(np.float32)
+    frame_shift = rng.uniform(-0.4, 0.4, 4).astype(np.float32)
+    s0 = frame_scale[np.asarray(data.pair[:, 0])][:, None]
+    s1 = frame_scale[np.asarray(data.pair[:, 1])][:, None]
+    b0 = frame_shift[np.asarray(data.pair[:, 0])][:, None]
+    b1 = frame_shift[np.asarray(data.pair[:, 1])][:, None]
+    # corrupted source depth d' solves true = d' * s + b
+    data_corrupt = data._replace(
+        depth0=(data.depth0 - jnp.asarray(b0)) / jnp.asarray(s0),
+        depth1=(data.depth1 - jnp.asarray(b1)) / jnp.asarray(s1),
+    )
+    inputs = PoseOptInputs(
+        data=data_corrupt,
+        median_depth=jnp.asarray((2.0 - frame_shift) / frame_scale),
+        aspect=1.0,
+        num_frames=4,
+    )
+
+    def final_rms(params):
+        final_cfg = SceneConfig(
+            aspect=1.0,
+            depth_spec=GridSpec(
+                gx=params.depth_grid.shape[3], gy=params.depth_grid.shape[2]
+            ),
+            spatial_spec=GridSpec(),
+            intr_opt=opt.intr_opt,
+            fixed_vfocal=0.5,
+        )
+        r = residuals.static_scene_residuals(params, final_cfg, data_corrupt)
+        return float(jnp.sqrt(jnp.mean(r * r)))
+
+    ss = pose_opt.run(opt, inputs, focal=jnp.full((4,), 0.5))
+    assert ss.depth_shift is not None
+    ss_rms = final_rms(ss)
+    sc = pose_opt.run(scale_opt, inputs, focal=jnp.full((4,), 0.5))
+    sc_rms = final_rms(sc)
+    assert ss_rms < 0.05, ss_rms
+    assert ss_rms < 0.7 * sc_rms, (ss_rms, sc_rms)

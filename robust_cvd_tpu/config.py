@@ -261,4 +261,17 @@ def parse_config(argv=None) -> PipelineConfig:
     )
     for mode in cfg.flow_ops:
         SamplePairsMode(mode)  # validate
+    if cfg.opt.value_xform not in ("Scale", "ScaleShift"):
+        raise SystemExit(
+            f"--opt.value_xform must be Scale or ScaleShift, got "
+            f"{cfg.opt.value_xform!r}"
+        )
+    if cfg.opt.static_loss_type not in STATIC_LOSS_TYPES:
+        raise SystemExit(
+            f"--opt.static_loss_type must be one of {STATIC_LOSS_TYPES}"
+        )
+    if cfg.opt.dynamic_constraints not in DYNAMIC_CONSTRAINT_MODES:
+        raise SystemExit(
+            f"--opt.dynamic_constraints must be one of {DYNAMIC_CONSTRAINT_MODES}"
+        )
     return cfg

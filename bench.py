@@ -187,6 +187,7 @@ def main():
     from robust_cvd_tpu.solver import pose_opt
     from robust_cvd_tpu.training.fine_tune import (
         build_clip_data,
+        make_epoch_fn,
         make_train_step,
         pose_state_from_solver,
     )
@@ -277,9 +278,11 @@ def main():
     optimizer = optax.adam(1e-6)
     opt_state = optimizer.init(mv["params"])
     step = make_train_step(midas, LossParams(), optimizer, use_temporal=False)
+    epoch_fn = make_epoch_fn(midas, LossParams(), optimizer, use_temporal=False)
     P_train = int(clip.pair_idx.shape[0])
     detail["num_train_pairs"] = P_train
     bsz = 2
+    S_full = P_train // bsz
 
     # warm-up compiles (persistently cached for the driver's run)
     params = pose_opt.run(opt, inputs, focal=jnp.full((NUM_FRAMES,), 0.5))
@@ -287,8 +290,19 @@ def main():
     warm_params = pose_opt.run(opt, inputs, initial=params)  # warm-start path
     jax.block_until_ready(warm_params.pose)
     ps = pose_state_from_solver(params, (H, W), 16 / 9, clip.depth_orig)
-    o = step(mv["params"], mv["batch_stats"], opt_state, jnp.asarray([0, 1]), clip, ps, mv["params"])
+    warm_blocks = jnp.asarray(
+        np.arange(S_full * bsz, dtype=np.int32).reshape(S_full, bsz)
+    )
+    o = epoch_fn(
+        mv["params"], mv["batch_stats"], opt_state, warm_blocks, clip, ps,
+        mv["params"],
+    )
     jax.block_until_ready(o[3])
+    if S_full * bsz < P_train:
+        tail = jnp.asarray(np.arange(S_full * bsz, P_train, dtype=np.int32))
+        o = step(mv["params"], mv["batch_stats"], opt_state, tail, clip, ps,
+                 mv["params"])
+        jax.block_until_ready(o[3])
 
     p, bs, ostate = mv["params"], mv["batch_stats"], opt_state
     solver_params = None
@@ -304,13 +318,16 @@ def main():
         t_pose += time.perf_counter() - t1
         t1 = time.perf_counter()
         order = np.random.default_rng(epoch).permutation(P_train)
-        for s in range(0, P_train, bsz):
-            ids = jnp.asarray(order[s : s + bsz], jnp.int32)
-            if ids.shape[0] < bsz:  # keep the tail pair, pad the gather
-                ids = jnp.concatenate([ids, ids[-1:]])
-            p, bs, ostate, loss, _ = step(p, bs, ostate, ids, clip, ps, mv["params"])
+        # one scanned device program for the full batches (FineTuner.run)
+        blocks = jnp.asarray(order[: S_full * bsz].reshape(S_full, bsz), jnp.int32)
+        p, bs, ostate, losses_s, _ = epoch_fn(
+            p, bs, ostate, blocks, clip, ps, mv["params"]
+        )
+        if S_full * bsz < P_train:  # trailing partial batch, kept exactly
+            ids = jnp.asarray(order[S_full * bsz :], jnp.int32)
+            p, bs, ostate, _loss, _ = step(p, bs, ostate, ids, clip, ps, mv["params"])
         # the chained (p, bs, ostate) dependencies force every step; sync:
-        float(loss)
+        float(losses_s[-1])
         t_train += time.perf_counter() - t1
     detail["pose_opt_total_s"] = round(t_pose, 4)
     detail["fine_tune_total_s"] = round(t_train, 4)

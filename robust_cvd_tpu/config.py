@@ -168,6 +168,10 @@ class PipelineConfig:
 
     # model
     model_type: str = "midas2"
+    # path to a detectron2 mask_rcnn_R_50_FPN checkpoint (.pkl); when set
+    # and present, dynamic masks come from the Flax Mask R-CNN
+    # (models/mask_rcnn.py) instead of geometric motion segmentation
+    mask_rcnn_weights: str = ""
     frame_range: str = ""
     exp_tag: str = "short"
 

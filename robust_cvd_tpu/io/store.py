@@ -24,6 +24,23 @@ from . import raw
 from .frames import VideoMeta, load_frames_txt
 
 
+def _native_read_f32_batch(paths) -> Optional[np.ndarray]:
+    """Whole-clip `.raw` read through the native thread-pooled IO engine
+    (native/io_engine.cpp); None -> caller uses the python fallback."""
+    from .. import native
+
+    if not paths:
+        return None
+    hdr = native.read_raw_header(paths[0])
+    if hdr is None:
+        return None
+    rows, cols, cvt = hdr
+    channels = (cvt >> 3) + 1
+    if cvt & 7 != 5:  # CV_32F depth code
+        return None
+    return native.read_raw_batch(paths, rows, cols, channels, np.float32)
+
+
 def frame_name(i: int, ext: str) -> str:
     return f"frame_{i:06d}{ext}"
 
@@ -107,13 +124,16 @@ class VideoStore:
 
     def load_color_down(self) -> np.ndarray:
         if self.color_down is None:
-            frames = [
-                raw.load_raw_float32_image(
-                    pjoin(self.base_dir, "color_down", frame_name(i, ".raw"))
-                )
+            paths = [
+                pjoin(self.base_dir, "color_down", frame_name(i, ".raw"))
                 for i in range(self.num_frames)
             ]
-            self.color_down = np.stack(frames)
+            batch = _native_read_f32_batch(paths)
+            if batch is None:
+                batch = np.stack(
+                    [raw.load_raw_float32_image(p) for p in paths]
+                )
+            self.color_down = batch
         return self.color_down
 
     def load_color_full(self) -> np.ndarray:
@@ -143,13 +163,16 @@ class VideoStore:
     def load_depth_stream(self, stream: str) -> np.ndarray:
         if stream not in self.depth_streams:
             d = self.depth_dir(stream)
-            frames = [
-                raw.disparity_to_depth(
-                    raw.load_raw_float32_image(pjoin(d, frame_name(i, ".raw")))
-                )
+            paths = [
+                pjoin(d, frame_name(i, ".raw"))
                 for i in range(self.num_frames)
             ]
-            self.depth_streams[stream] = np.stack(frames)
+            batch = _native_read_f32_batch(paths)
+            if batch is None:
+                batch = np.stack(
+                    [raw.load_raw_float32_image(p) for p in paths]
+                )
+            self.depth_streams[stream] = raw.disparity_to_depth(batch)
         return self.depth_streams[stream]
 
     def save_depth_stream(self, stream: str, depth: np.ndarray) -> None:
@@ -157,10 +180,15 @@ class VideoStore:
         (reference lib/DepthVideo.cpp:588-635 saveDepth)."""
         d = self.depth_dir(stream)
         os.makedirs(d, exist_ok=True)
-        for i in range(self.num_frames):
-            raw.save_raw_float32_image(
-                pjoin(d, frame_name(i, ".raw")), raw.depth_to_disparity(depth[i])
-            )
+        paths = [
+            pjoin(d, frame_name(i, ".raw")) for i in range(self.num_frames)
+        ]
+        disparity = raw.depth_to_disparity(np.asarray(depth))
+        from .. import native
+
+        if not native.write_raw_batch(paths, disparity):
+            for i, p in enumerate(paths):
+                raw.save_raw_float32_image(p, disparity[i])
         self.depth_streams[stream] = np.asarray(depth)
 
     def duplicate_depth_stream(self, src: str, dst: str) -> None:

@@ -184,3 +184,100 @@ def load_midas_v2(path: str):
     params = jax.tree.map(lambda x: np.asarray(x, np.float32), params)
     stats = jax.tree.map(lambda x: np.asarray(x, np.float32), stats)
     return MidasV2Adapter(params=params, batch_stats=stats)
+
+
+def load_detectron2_pkl(path: str) -> Dict[str, "np.ndarray"]:
+    """Detectron2 model zoo checkpoints are pickles of numpy arrays:
+    {"model": {key: ndarray}, "__author__": ...}."""
+    import pickle
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f, encoding="latin1")
+    sd = blob.get("model", blob) if isinstance(blob, dict) else blob
+    return {k: _np(v) for k, v in sd.items()}
+
+
+def convert_mask_rcnn_r50fpn(sd: Dict) -> dict:
+    """Detectron2 mask_rcnn_R_50_FPN state dict -> params for
+    models.mask_rcnn.MaskRCNN (reference dynamic_mask_generation.py:34-41).
+
+    FrozenBatchNorm is folded into a per-channel affine:
+      scale = gamma / sqrt(var + eps), bias = beta - mean * scale.
+    The box-head fc1 input is re-ordered from torch's (C, 7, 7) flatten to
+    flax's NHWC (7, 7, C) flatten.
+    """
+    eps = 1e-5
+    params: dict = {}
+
+    def put_conv(flax_path, key, bias=True):
+        _set(params, flax_path + ("kernel",), _conv_kernel(sd[key + ".weight"]))
+        if bias and key + ".bias" in sd:
+            _set(params, flax_path + ("bias",), _np(sd[key + ".bias"]))
+
+    def put_frozen_bn(flax_path, key):
+        gamma = _np(sd[key + ".weight"])
+        beta = _np(sd[key + ".bias"])
+        mean = _np(sd[key + ".running_mean"])
+        var = _np(sd[key + ".running_var"])
+        scale = gamma / np.sqrt(var + eps)
+        _set(params, flax_path + ("scale",), scale)
+        _set(params, flax_path + ("bias",), beta - mean * scale)
+
+    def put_fc(flax_path, key, spatial=None):
+        w = _np(sd[key + ".weight"])  # (out, in)
+        if spatial is not None:
+            c, h, wd = spatial  # torch flatten order (C, H, W)
+            out = w.shape[0]
+            w = (
+                w.reshape(out, c, h, wd)
+                .transpose(2, 3, 1, 0)
+                .reshape(h * wd * c, out)
+            )
+        else:
+            w = w.T
+        _set(params, flax_path + ("kernel",), w)
+        _set(params, flax_path + ("bias",), _np(sd[key + ".bias"]))
+
+    bb = "backbone.bottom_up"
+    put_conv(("backbone", "stem_conv1"), f"{bb}.stem.conv1", bias=False)
+    put_frozen_bn(("backbone", "stem_bn1"), f"{bb}.stem.conv1.norm")
+    for stage, blocks in zip((2, 3, 4, 5), (3, 4, 6, 3)):
+        for b in range(blocks):
+            src = f"{bb}.res{stage}.{b}"
+            dst = ("backbone", f"res{stage}_{b}")
+            for c in ("conv1", "conv2", "conv3"):
+                put_conv(dst + (c,), f"{src}.{c}", bias=False)
+                put_frozen_bn(dst + (f"bn{c[-1]}",), f"{src}.{c}.norm")
+            if f"{src}.shortcut.weight" in sd:
+                put_conv(dst + ("downsample_conv",), f"{src}.shortcut",
+                         bias=False)
+                put_frozen_bn(dst + ("downsample_bn",), f"{src}.shortcut.norm")
+    for lvl in (2, 3, 4, 5):
+        put_conv(("backbone", f"fpn_lateral{lvl}"), f"backbone.fpn_lateral{lvl}")
+        put_conv(("backbone", f"fpn_output{lvl}"), f"backbone.fpn_output{lvl}")
+
+    rpn = "proposal_generator.rpn_head"
+    put_conv(("rpn", "conv"), f"{rpn}.conv")
+    put_conv(("rpn", "objectness_logits"), f"{rpn}.objectness_logits")
+    put_conv(("rpn", "anchor_deltas"), f"{rpn}.anchor_deltas")
+
+    put_fc(("box_head", "fc1"), "roi_heads.box_head.fc1", spatial=(256, 7, 7))
+    put_fc(("box_head", "fc2"), "roi_heads.box_head.fc2")
+    put_fc(("box_head", "cls_score"), "roi_heads.box_predictor.cls_score")
+    put_fc(("box_head", "bbox_pred"), "roi_heads.box_predictor.bbox_pred")
+
+    for i in range(1, 5):
+        put_conv(("mask_head", f"mask_fcn{i}"),
+                 f"roi_heads.mask_head.mask_fcn{i}")
+    # torch ConvTranspose2d weight (in, out, kh, kw) -> flax transpose_kernel
+    # layout (kh, kw, out, in)
+    _set(
+        params,
+        ("mask_head", "deconv", "kernel"),
+        np.transpose(_np(sd["roi_heads.mask_head.deconv.weight"]), (2, 3, 1, 0)),
+    )
+    _set(params, ("mask_head", "deconv", "bias"),
+         _np(sd["roi_heads.mask_head.deconv.bias"]))
+    put_conv(("mask_head", "predictor"), "roi_heads.mask_head.predictor")
+
+    return params

@@ -103,3 +103,138 @@ def stamp_disks(xs: np.ndarray, ys: np.ndarray, w: int, h: int, radius: int) -> 
             x0 - (x - radius) : x1 - (x - radius),
         ].astype(np.uint8)
     return out.astype(bool)
+
+
+# -- batched raw IO engine (io_engine.cpp) -----------------------------------
+
+_IO_SRC = os.path.join(_DIR, "io_engine.cpp")
+_IO_SO = os.path.join(_DIR, "_io_engine.so")
+_io_lib = None
+_io_build_failed = False
+
+
+def _load_io():
+    global _io_lib, _io_build_failed
+    if _io_lib is not None or _io_build_failed:
+        return _io_lib
+    try:
+        if not os.path.exists(_IO_SO) or os.path.getmtime(_IO_SO) < os.path.getmtime(
+            _IO_SRC
+        ):
+            subprocess.run(
+                [
+                    "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                    _IO_SRC, "-o", _IO_SO,
+                ],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(_IO_SO)
+        c = ctypes
+        lib.read_raw_batch.argtypes = [
+            c.POINTER(c.c_char_p), c.c_int64, c.c_int32, c.c_int32, c.c_int32,
+            c.POINTER(c.c_uint8), c.c_int64, c.c_int32, c.POINTER(c.c_int64),
+        ]
+        lib.read_raw_batch.restype = c.c_int
+        lib.write_raw_batch.argtypes = [
+            c.POINTER(c.c_char_p), c.c_int64, c.c_int32, c.c_int32, c.c_int32,
+            c.c_uint64, c.POINTER(c.c_uint8), c.c_int64, c.c_int32,
+            c.POINTER(c.c_int64),
+        ]
+        lib.write_raw_batch.restype = c.c_int
+        lib.read_raw_header.argtypes = [
+            c.c_char_p, c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32),
+        ]
+        lib.read_raw_header.restype = c.c_int
+        _io_lib = lib
+    except Exception:
+        _io_build_failed = True
+        _io_lib = None
+    return _io_lib
+
+
+def _paths_array(paths):
+    enc = [os.fsencode(p) for p in paths]
+    arr = (ctypes.c_char_p * len(enc))(*enc)
+    return arr, enc  # keep `enc` alive with the array
+
+
+def read_raw_batch(paths, rows: int, cols: int, channels: int,
+                   dtype=np.float32, nthreads: int = 0) -> "np.ndarray | None":
+    """Thread-pooled batch read of same-shape `.raw` files into ONE
+    contiguous (N, rows, cols[, channels]) array. Returns None when the
+    native engine is unavailable (caller falls back to the python loop);
+    raises on malformed/mismatched files."""
+    lib = _load_io()
+    if lib is None or not paths:
+        return None
+    from ..io import raw as raw_mod
+
+    dtype = np.dtype(dtype)
+    cvt = raw_mod.cv_type(dtype, channels)
+    shape = (len(paths), rows, cols) if channels == 1 else (
+        len(paths), rows, cols, channels
+    )
+    out = np.empty(shape, dtype)
+    frame_bytes = rows * cols * channels * dtype.itemsize
+    if nthreads <= 0:
+        nthreads = min(16, os.cpu_count() or 1)
+    arr, _keep = _paths_array(paths)
+    bad = ctypes.c_int64(-1)
+    rc = lib.read_raw_batch(
+        arr, len(paths), rows, cols, cvt,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        frame_bytes, nthreads, ctypes.byref(bad),
+    )
+    if rc != 0:
+        idx = int(bad.value)
+        name = paths[idx] if 0 <= idx < len(paths) else "?"
+        raise IOError(f"native raw batch read failed at {name}")
+    return out
+
+
+def write_raw_batch(paths, data: np.ndarray, nthreads: int = 0) -> bool:
+    """Thread-pooled batch write of (N, rows, cols[, channels]) to `.raw`
+    files. Returns False when the native engine is unavailable."""
+    lib = _load_io()
+    if lib is None or not paths:
+        return lib is not None
+    from ..io import raw as raw_mod
+
+    data = np.ascontiguousarray(data)
+    n, rows, cols = data.shape[:3]
+    channels = 1 if data.ndim == 3 else data.shape[3]
+    assert n == len(paths)
+    cvt = raw_mod.cv_type(data.dtype, channels)
+    pixel_size = channels * data.dtype.itemsize
+    frame_bytes = rows * cols * pixel_size
+    if nthreads <= 0:
+        nthreads = min(16, os.cpu_count() or 1)
+    arr, _keep = _paths_array(paths)
+    bad = ctypes.c_int64(-1)
+    rc = lib.write_raw_batch(
+        arr, n, rows, cols, cvt, pixel_size,
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        frame_bytes, nthreads, ctypes.byref(bad),
+    )
+    if rc != 0:
+        idx = int(bad.value)
+        name = paths[idx] if 0 <= idx < len(paths) else "?"
+        raise IOError(f"native raw batch write failed at {name}")
+    return True
+
+
+def read_raw_header(path):
+    """(rows, cols, cv_type) of one `.raw` file, or None without the
+    native engine."""
+    lib = _load_io()
+    if lib is None:
+        return None
+    r = ctypes.c_int32()
+    c = ctypes.c_int32()
+    t = ctypes.c_int32()
+    if lib.read_raw_header(os.fsencode(path), ctypes.byref(r),
+                           ctypes.byref(c), ctypes.byref(t)) != 0:
+        raise IOError(f"cannot read raw header of {path}")
+    return int(r.value), int(c.value), int(t.value)

@@ -52,3 +52,67 @@ def shard_leading(tree, mesh: Mesh, axis: str = "data"):
 def replicate(tree, mesh: Mesh):
     r = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, r), tree)
+
+
+def _pad_leading(x, target: int):
+    pad = target - x.shape[0]
+    if pad <= 0:
+        return x
+    import jax.numpy as jnp
+
+    return jnp.concatenate([x, jnp.repeat(x[:1], pad, axis=0)], axis=0)
+
+
+def shard_pose_inputs(inputs, mesh: Mesh, axis: str = "data"):
+    """Shard a solver problem over the mesh: the constraint pair axis (P)
+    and triplet axis (T) are partitioned over ICI; per-frame tensors are
+    replicated. The LM solver's jvp/vjp/CG reductions then run SPMD — XLA
+    inserts the psums (the TPU equivalent of Ceres' 12-thread Jacobian
+    evaluation, lib/PoseOptimizer.h:57).
+
+    P/T are padded to a device multiple with zero-weight copies of row 0
+    (weight 0 == skipped constraint, lib/PoseOptimizer.cpp:1177-1193), which
+    leaves every residual and gradient unchanged.
+    """
+    import jax.numpy as jnp
+
+    n = int(np.prod(mesh.devices.shape))
+    d = inputs.data
+    P = int(d.pair.shape[0])
+    Pp = -(-P // n) * n
+    weight = _pad_leading(d.weight, Pp)
+    if Pp > P:
+        weight = weight.at[P:].set(0.0)
+    data = type(d)(
+        pair=_pad_leading(d.pair, Pp),
+        loc0=_pad_leading(d.loc0, Pp),
+        loc1=_pad_leading(d.loc1, Pp),
+        depth0=_pad_leading(d.depth0, Pp),
+        depth1=_pad_leading(d.depth1, Pp),
+        weight=weight,
+    )
+    data = shard_leading(data, mesh, axis)
+
+    trip = inputs.triplets
+    if trip is not None:
+        T = int(trip.frame.shape[0])
+        Tp = -(-T // n) * n
+        tweight = _pad_leading(trip.weight, Tp)
+        if Tp > T:
+            tweight = tweight.at[T:].set(0.0)
+        trip = type(trip)(
+            frame=_pad_leading(trip.frame, Tp),
+            loc=_pad_leading(trip.loc, Tp),
+            depth=_pad_leading(trip.depth, Tp),
+            weight=tweight,
+        )
+        trip = shard_leading(trip, mesh, axis)
+
+    out = inputs._replace(
+        data=data,
+        triplets=trip,
+        median_depth=replicate(inputs.median_depth, mesh),
+    )
+    if inputs.dynamic_mask is not None:
+        out = out._replace(dynamic_mask=replicate(inputs.dynamic_mask, mesh))
+    return out

@@ -121,3 +121,50 @@ def compute_dynamic_masks(
         save_png_gray(out, (~dyn).astype(np.uint8) * 255)
         wrote_any = True
     return wrote_any
+
+
+def compute_dynamic_masks_rcnn(
+    store: VideoStore, weights_path: str, dilate: int = 5,
+    score_thresh: float = 0.5,
+) -> bool:
+    """Semantic dynamic masks with the Flax Mask R-CNN
+    (reference dynamic_mask_generation.py:107-239: person/vehicle/animal
+    union, dilate, invert so white = static). Weights come from a
+    detectron2 `mask_rcnn_R_50_FPN` checkpoint pickle.
+
+    The whole clip runs through ONE jitted program per frame shape; frames
+    are padded to a 32-multiple for the FPN."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.mask_rcnn import MaskRCNN, dynamic_mask_from_detections
+    from ..models.torch_port import convert_mask_rcnn_r50fpn, load_detectron2_pkl
+
+    sd = load_detectron2_pkl(weights_path)
+    params = convert_mask_rcnn_r50fpn(sd)
+    net = MaskRCNN()
+
+    images = store.load_color_down()  # (N, H, W, 3) in [0, 1]
+    n, h, w = images.shape[:3]
+    ph = -(-h // 32) * 32
+    pw = -(-w // 32) * 32
+
+    @jax.jit
+    def one_frame(img):
+        x = jnp.zeros((1, ph, pw, 3), jnp.float32)
+        x = x.at[0, :h, :w].set(img)
+        det = net.apply({"params": params}, x)
+        return dynamic_mask_from_detections(det, (ph, pw), score_thresh)[:h, :w]
+
+    out_dir = pjoin(store.base_dir, "dynamic_mask")
+    os.makedirs(out_dir, exist_ok=True)
+    wrote_any = False
+    for i in range(n):
+        out = pjoin(out_dir, frame_name(i, ".png"))
+        if os.path.exists(out):
+            wrote_any = True
+            continue
+        dyn = _dilate(np.asarray(one_frame(jnp.asarray(images[i]))), dilate)
+        save_png_gray(out, (~dyn).astype(np.uint8) * 255)
+        wrote_any = True
+    return wrote_any

@@ -366,7 +366,7 @@ class PoseOptimizer:
         dyn = None
         if self.cfg.opt.adaptive_deformation_cost > 0:
             dyn = self.store.load_dynamic_mask()
-        return PoseOptInputs(
+        inputs = PoseOptInputs(
             data=data,
             median_depth=median,
             aspect=self.store.aspect,
@@ -374,6 +374,15 @@ class PoseOptimizer:
             triplets=triplets,
             dynamic_mask=dyn,
         )
+        import jax
+
+        if len(jax.devices()) > 1:
+            # SPMD solve: constraint pair axis sharded over the mesh,
+            # parameters replicated (parallel/mesh.py shard_pose_inputs)
+            from ..parallel import mesh as pmesh
+
+            inputs = pmesh.shard_pose_inputs(inputs, pmesh.make_mesh())
+        return inputs
 
     # -- optimization (reference pose_optimization.py:177-240) ---------------
 

@@ -108,11 +108,22 @@ class DatasetProcessor:
         # generator is geometric motion segmentation from the flow
         # (pipeline/masks.py); external dynamic_mask/ dirs take precedence.
         if cfg.opt.dynamic_constraints == "Mask":
-            from .masks import compute_dynamic_masks
+            from .masks import compute_dynamic_masks, compute_dynamic_masks_rcnn
 
             with tracer.span("compute_dynamic_mask"):
                 try:
-                    compute_dynamic_masks(store)
+                    if cfg.mask_rcnn_weights and os.path.exists(
+                        cfg.mask_rcnn_weights
+                    ):
+                        compute_dynamic_masks_rcnn(store, cfg.mask_rcnn_weights)
+                    else:
+                        if cfg.mask_rcnn_weights:
+                            print(
+                                f"--mask_rcnn_weights "
+                                f"{cfg.mask_rcnn_weights!r} not found; "
+                                "falling back to motion segmentation"
+                            )
+                        compute_dynamic_masks(store)
                 except Exception as e:  # mask failures do not abort the pipeline
                     print(f"dynamic mask generation failed ({e}); continuing")
 

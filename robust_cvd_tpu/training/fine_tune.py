@@ -167,8 +167,9 @@ def build_clip_data(
     return ClipData(**data)
 
 
-def make_train_step(net, loss_opt: LossParams, optimizer, use_temporal: bool):
-    """Build the fused jitted train step.
+def _make_step_body(net, loss_opt: LossParams, optimizer, use_temporal: bool):
+    """The fused train-step body (unjitted — shared by the per-call step and
+    the epoch-scanned program).
 
     Step signature:
       (params, batch_stats, opt_state, batch_pair_ids, clip, pose_state)
@@ -252,11 +253,44 @@ def make_train_step(net, loss_opt: LossParams, optimizer, use_temporal: bool):
         new_stats = jax.tree.map(lambda a, b: jnp.where(ok, a, b), new_stats, batch_stats)
         return new_params, new_stats, new_opt_state, loss, parts
 
-    return jax.jit(step)
+    return step
 
 
-def make_eval_step(net, loss_opt: LossParams, use_temporal: bool):
-    """Loss-only jitted eval: forward + JointLoss, no gradient/Adam program
+def make_train_step(net, loss_opt: LossParams, optimizer, use_temporal: bool):
+    """Jitted single train step (one dispatch per batch)."""
+    return jax.jit(_make_step_body(net, loss_opt, optimizer, use_temporal))
+
+
+def make_epoch_fn(net, loss_opt: LossParams, optimizer, use_temporal: bool):
+    """Whole-epoch fused program: `lax.scan` of the train-step body over a
+    (S, B) block of batch ids — ONE device dispatch per epoch instead of S.
+
+    On this hardware the per-call dispatch latency (host->TPU tunnel) is far
+    larger than a single step's compute, so the reference's DataLoader-style
+    per-batch stepping (depth_fine_tuning.py:478) is re-designed as an
+    on-device scan over the HBM-resident clip tensors.
+
+    Returns (params, batch_stats, opt_state, losses (S,), parts {k: (S,)}).
+    """
+    body = _make_step_body(net, loss_opt, optimizer, use_temporal)
+
+    def epoch(params, batch_stats, opt_state, batch_ids, clip: ClipData,
+              ps: PoseState, params_init):
+        def scan_step(carry, ids):
+            p, bs, st = carry
+            p, bs, st, loss, parts = body(p, bs, st, ids, clip, ps, params_init)
+            return (p, bs, st), (loss, parts)
+
+        (params, batch_stats, opt_state), (losses_s, parts_s) = jax.lax.scan(
+            scan_step, (params, batch_stats, opt_state), batch_ids
+        )
+        return params, batch_stats, opt_state, losses_s, parts_s
+
+    return jax.jit(epoch)
+
+
+def _make_eval_body(net, loss_opt: LossParams, use_temporal: bool):
+    """Loss-only eval body: forward + JointLoss, no gradient/Adam program
     (the reference's eval_and_save runs the model under torch.no_grad with
     train-mode batch norm, depth_fine_tuning.py:747-748)."""
 
@@ -293,7 +327,36 @@ def make_eval_step(net, loss_opt: LossParams, use_temporal: bool):
         )
         return total, parts
 
-    return jax.jit(step)
+    return step
+
+
+def make_eval_step(net, loss_opt: LossParams, use_temporal: bool):
+    """Jitted loss-only eval for one batch of pair ids."""
+    return jax.jit(_make_eval_body(net, loss_opt, use_temporal))
+
+
+def make_eval_all_fn(net, loss_opt: LossParams, use_temporal: bool):
+    """Per-pair losses over the WHOLE pair set in one scanned program
+    (vs the reference's per-pair python loop, depth_fine_tuning.py:756-817).
+
+    Returns (losses (P,), parts {k: (P,)})."""
+    body = _make_eval_body(net, loss_opt, use_temporal)
+
+    def eval_all(params, batch_stats, clip: ClipData, ps: PoseState,
+                 params_init):
+        P = clip.pair_idx.shape[0]  # static under jit
+
+        def scan_step(_, pid):
+            loss, parts = body(params, batch_stats, pid[None], clip, ps,
+                               params_init)
+            return None, (loss, parts)
+
+        _, (losses_p, parts_p) = jax.lax.scan(
+            scan_step, None, jnp.arange(P, dtype=jnp.int32)
+        )
+        return losses_p, parts_p
+
+    return jax.jit(eval_all)
 
 
 class FineTuner:
@@ -330,6 +393,10 @@ class FineTuner:
         self.step_fn = make_train_step(
             adapter.net, cfg.loss, self.optimizer, self.use_temporal
         )
+        self.epoch_fn = make_epoch_fn(
+            adapter.net, cfg.loss, self.optimizer, self.use_temporal
+        )
+        self._infer_fwd = None
         self.params = adapter.params
         self.batch_stats = adapter.batch_stats
         self.params_init = jax.tree.map(jnp.asarray, adapter.params)
@@ -402,19 +469,32 @@ class FineTuner:
             order = self.rng.permutation(P)
             epoch_losses = []
             last_parts = {}
-            # the trailing partial batch is kept (reference DataLoader
-            # drop_last=False)
-            for s in range(0, P, B):
-                ids = jnp.asarray(order[s : s + B], jnp.int32)
+            # Full batches run as ONE scanned device program (dispatch
+            # latency >> step compute on this hardware); the trailing
+            # partial batch is kept (reference DataLoader drop_last=False)
+            # and runs as its own fixed-shape step.
+            S = P // B
+            if S > 0:
+                blocks = jnp.asarray(order[: S * B].reshape(S, B), jnp.int32)
+                (self.params, self.batch_stats, self.opt_state, losses_s,
+                 parts_s) = self.epoch_fn(
+                    self.params, self.batch_stats, self.opt_state, blocks,
+                    self.clip, self.pose_state, self.params_init,
+                )
+                epoch_losses.append(losses_s)
+                last_parts = {k: v[-1] for k, v in parts_s.items()}
+                total_iters += S * B
+            if S * B < P:
+                ids = jnp.asarray(order[S * B :], jnp.int32)
                 (self.params, self.batch_stats, self.opt_state, loss, parts
                  ) = self.step_fn(
                     self.params, self.batch_stats, self.opt_state, ids,
                     self.clip, self.pose_state, self.params_init,
                 )
-                epoch_losses.append(loss)
+                epoch_losses.append(loss[None])
                 last_parts = parts
                 total_iters += int(ids.shape[0])
-            mean_loss = float(jnp.mean(jnp.stack(epoch_losses)))
+            mean_loss = float(jnp.mean(jnp.concatenate(epoch_losses)))
             self.history.append(
                 {"epoch": epoch, "loss": mean_loss, "sec": time.perf_counter() - t0}
             )
@@ -544,6 +624,46 @@ class FineTuner:
                     np.uint8(np.clip(scales[i] / max(smax, 1e-12), 0, 1) * 255),
                 )
 
+        if ft.save_scene_flow_vis:
+            # per-pair ref->trg 3D scene-flow images
+            # (reference depth_fine_tuning.py:653-737 save_scene_flow)
+            from ..io.store import save_png_color
+            from ..ops import geometry
+            from ..utils.visualization import visualize_scene_flow
+
+            depth = np.asarray(self.infer_depth()) * np.asarray(
+                self.pose_state.scales
+            )
+            ext = np.asarray(self.pose_state.extrinsics)
+            intr = np.asarray(self.pose_state.intrinsics)
+            flows = np.asarray(self.clip.flows)
+            pair_idx = np.asarray(self.clip.pair_idx)
+            H, W = depth.shape[1:]
+            pix = np.asarray(geometry.pixel_grid((H, W)))
+            for p in range(pair_idx.shape[0]):
+                i, j = int(pair_idx[p, 0]), int(pair_idx[p, 1])
+                pts_i = geometry.pixels_to_points(
+                    jnp.asarray(intr[i]), jnp.asarray(depth[i]), jnp.asarray(pix)
+                )
+                world_i = geometry.points_cam_to_world(
+                    pts_i, jnp.asarray(ext[i])
+                )
+                match = pix + flows[p, 0]
+                d_j = geometry.grid_sample(
+                    jnp.asarray(depth[j])[..., None], jnp.asarray(match)
+                )[..., 0]
+                pts_j = geometry.pixels_to_points(
+                    jnp.asarray(intr[j]), d_j, jnp.asarray(match)
+                )
+                world_j = geometry.points_cam_to_world(
+                    pts_j, jnp.asarray(ext[j])
+                )
+                sf = np.asarray(world_j - world_i)
+                save_png_color(
+                    pjoin(eval_dir, f"scene_flow_{i:06d}_{j:06d}{suf}.png"),
+                    visualize_scene_flow(sf),
+                )
+
         # stdout table (reference depth_fine_tuning.py:826-858)
         names = [n for n in loss_dict if n != "mean"]
         for e in entries:
@@ -600,25 +720,28 @@ class FineTuner:
     # -- evaluation / persistence artifacts ---------------------------------
 
     def eval_pair_losses(self) -> List[Dict]:
-        """Per-pair loss breakdown via the loss-only eval step
+        """Per-pair loss breakdown via ONE scanned loss-only program
         (reference eval_and_save, depth_fine_tuning.py:633-860)."""
         if self.eval_fn is None:
-            self.eval_fn = make_eval_step(
+            self.eval_fn = make_eval_all_fn(
                 self.adapter.net, self.cfg.loss, self.use_temporal
             )
-        P = int(self.clip.pair_idx.shape[0])
+        losses_p, parts_p = self.eval_fn(
+            self.params, self.batch_stats,
+            self.clip, self.pose_state, self.params_init,
+        )
+        losses_p = np.asarray(losses_p)
+        parts_p = {k: np.asarray(v) for k, v in parts_p.items()}
+        pair_idx = np.asarray(self.clip.pair_idx)
         out = []
-        for p in range(P):
-            ids = jnp.asarray([p], jnp.int32)
-            loss, parts = self.eval_fn(
-                self.params, self.batch_stats, ids,
-                self.clip, self.pose_state, self.params_init,
-            )
+        for p in range(pair_idx.shape[0]):
             entry = {
-                "pair": [int(x) for x in np.asarray(self.clip.pair_idx[p])],
-                "loss": float(loss),
+                "pair": [int(x) for x in pair_idx[p]],
+                "loss": float(losses_p[p]),
             }
-            entry.update({k: float(np.mean(np.asarray(v))) for k, v in parts.items()})
+            entry.update(
+                {k: float(np.mean(v[p])) for k, v in parts_p.items()}
+            )
             out.append(entry)
         return out
 
@@ -666,12 +789,18 @@ class FineTuner:
         depth_fine_tuning.py:227-294)."""
         from ..models.midas import disparity_to_depth, normalize_images
 
-        @jax.jit
-        def fwd(params, batch_stats, x):
-            disp = self.adapter.net.apply(
-                {"params": params, "batch_stats": batch_stats}, normalize_images(x)
-            )
-            return disparity_to_depth(disp)
+        if self._infer_fwd is None:
+            # built once: a fresh closure per call would retrace every time
+            @jax.jit
+            def fwd(params, batch_stats, x):
+                disp = self.adapter.net.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    normalize_images(x),
+                )
+                return disparity_to_depth(disp)
+
+            self._infer_fwd = fwd
+        fwd = self._infer_fwd
 
         N = self.clip.images.shape[0]
         outs = []

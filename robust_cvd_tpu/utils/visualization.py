@@ -113,6 +113,15 @@ def flow_to_image(flow: np.ndarray, max_flow=None) -> np.ndarray:
     return img
 
 
+def visualize_scene_flow(scene_flow: np.ndarray) -> np.ndarray:
+    """(H, W, 3) 3D scene-flow field -> uint8 RGB: normalized to [-1, 1] by
+    the max-abs component, then mapped to [0, 255] with zero at mid-gray
+    (reference utils/visualization.py:15-50)."""
+    sf = np.asarray(scene_flow, np.float32)
+    mag = np.max(np.abs(sf)) + 1e-6
+    return np.uint8((sf / mag + 1.0) / 2.0 * 255.0)
+
+
 def apply_mask(image: np.ndarray, mask: np.ndarray) -> np.ndarray:
     """Dim masked-out pixels (reference utils/visualization.py apply_mask)."""
     m = (np.asarray(mask) > 0).astype(np.float32)

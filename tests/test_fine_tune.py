@@ -143,3 +143,113 @@ def test_eval_and_checkpoint(tmp_path):
     restored = jax.tree.map(np.asarray, tuner.params)
     chk = jax.tree.map(np.allclose, orig, restored)
     assert all(jax.tree.leaves(chk))
+
+
+def test_epoch_scan_matches_per_step_loop():
+    """The fused-epoch scan (one device program) must reproduce the
+    per-batch stepping loop exactly: same params, stats, opt state, losses —
+    including the kept trailing partial batch."""
+    import optax
+
+    from robust_cvd_tpu.config import LossParams
+
+    clip, _ = make_tiny_setup()
+    adapter = TinyAdapter()
+    loss_opt = LossParams()
+    optimizer = optax.adam(1e-3)
+    step = fine_tune.make_train_step(adapter.net, loss_opt, optimizer, False)
+    epoch = fine_tune.make_epoch_fn(adapter.net, loss_opt, optimizer, False)
+
+    N, H, W = clip.images.shape[:3]
+    ps = fine_tune.pose_state_from_solver(
+        SolverParams(
+            pose=jnp.zeros((N, 6)),
+            focal=jnp.full((N,), 0.5),
+            depth_grid=jnp.ones((N, 1, 1, 1)),
+            spatial_grid=jnp.zeros((N, 1, 1, 2)),
+        ),
+        (H, W),
+        aspect=W / H,
+    )
+
+    P = int(clip.pair_idx.shape[0])
+    B = 2
+    order = np.random.default_rng(1).permutation(P)
+    p0, bs0 = adapter.params, adapter.batch_stats
+    os0 = optimizer.init(p0)
+
+    # per-step loop (the reference-shaped loop)
+    p_a, bs_a, os_a = p0, bs0, os0
+    losses_a = []
+    for s in range(0, P, B):
+        ids = jnp.asarray(order[s : s + B], jnp.int32)
+        p_a, bs_a, os_a, loss, _ = step(p_a, bs_a, os_a, ids, clip, ps, p0)
+        losses_a.append(float(loss))
+
+    # fused scan over the full batches + tail step
+    S = P // B
+    blocks = jnp.asarray(order[: S * B].reshape(S, B), jnp.int32)
+    p_b, bs_b, os_b, losses_s, _ = epoch(p0, bs0, os0, blocks, clip, ps, p0)
+    losses_b = [float(x) for x in np.asarray(losses_s)]
+    if S * B < P:
+        ids = jnp.asarray(order[S * B :], jnp.int32)
+        p_b, bs_b, os_b, loss, _ = step(p_b, bs_b, os_b, ids, clip, ps, p0)
+        losses_b.append(float(loss))
+
+    np.testing.assert_allclose(losses_a, losses_b, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_a), jax.tree.leaves(p_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(bs_a), jax.tree.leaves(bs_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_eval_all_matches_per_pair_eval():
+    from robust_cvd_tpu.config import LossParams
+
+    clip, _ = make_tiny_setup()
+    adapter = TinyAdapter()
+    loss_opt = LossParams()
+    one = fine_tune.make_eval_step(adapter.net, loss_opt, False)
+    allf = fine_tune.make_eval_all_fn(adapter.net, loss_opt, False)
+
+    N, H, W = clip.images.shape[:3]
+    ps = fine_tune.pose_state_from_solver(
+        SolverParams(
+            pose=jnp.zeros((N, 6)),
+            focal=jnp.full((N,), 0.5),
+            depth_grid=jnp.ones((N, 1, 1, 1)),
+            spatial_grid=jnp.zeros((N, 1, 1, 2)),
+        ),
+        (H, W),
+        aspect=W / H,
+    )
+    p0, bs0 = adapter.params, adapter.batch_stats
+    losses_p, _ = allf(p0, bs0, clip, ps, p0)
+    for pid in range(int(clip.pair_idx.shape[0])):
+        loss, _ = one(p0, bs0, jnp.asarray([pid], jnp.int32), clip, ps, p0)
+        np.testing.assert_allclose(float(loss), float(losses_p[pid]), rtol=1e-5)
+
+
+def test_scene_flow_vis_artifacts(tmp_path):
+    import dataclasses
+    import os
+
+    clip, inputs = make_tiny_setup()
+    cfg = PipelineConfig(
+        opt=PoseOptParams(
+            num_steps=1, coarse_to_fine=False, lm_max_outer=3, lm_cg_iters=4
+        ),
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        ft=dataclasses.replace(
+            cfg.ft, num_epochs=1, batch_size=2, save_scene_flow_vis=True,
+            save_tensorboard=False,
+        ),
+    )
+    tuner = FineTuner(cfg, TinyAdapter(), clip, inputs, out_dir=str(tmp_path))
+    tuner.optimize_poses()
+    tuner.validate(0, 0)
+    eval_dir = tmp_path / "eval"
+    vis = [f for f in os.listdir(eval_dir) if f.startswith("scene_flow_")]
+    assert len(vis) == int(clip.pair_idx.shape[0])

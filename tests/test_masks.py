@@ -40,3 +40,34 @@ def test_compute_dynamic_masks_writes_contract(tmp_path):
     assert m0[40, 40] == 255
     # idempotent
     assert compute_dynamic_masks(store)
+
+
+def test_compute_dynamic_masks_rcnn_contract(tmp_path):
+    """Mask R-CNN-backed generation through a fake detectron2 checkpoint
+    pickle (random weights at real layout): output contract only."""
+    import pickle
+
+    from test_mask_rcnn import _detectron2_layout_state
+
+    base = str(tmp_path / "clip")
+    h, w = 48, 64
+    os.makedirs(pjoin(base, "color_full"))
+    save_frames_txt(pjoin(base, "frames.txt"), w, h, [0.0])
+    store = VideoStore.open(base)
+    store.color_down = np.random.default_rng(0).uniform(
+        0, 1, (1, h, w, 3)
+    ).astype(np.float32)
+
+    ckpt = str(tmp_path / "mask_rcnn_R_50_FPN_3x.pkl")
+    sd = _detectron2_layout_state(np.random.default_rng(1))
+    with open(ckpt, "wb") as f:
+        pickle.dump({"model": sd, "__author__": "test"}, f)
+
+    from robust_cvd_tpu.pipeline.masks import compute_dynamic_masks_rcnn
+
+    assert compute_dynamic_masks_rcnn(store, ckpt, dilate=2)
+    m0 = load_png_gray(pjoin(base, "dynamic_mask", "frame_000000.png"))
+    assert m0.shape == (h, w)
+    assert set(np.unique(m0)) <= {0, 255}
+    # idempotent
+    assert compute_dynamic_masks_rcnn(store, ckpt)

@@ -134,7 +134,10 @@ def test_torch_port_roundtrip(tmp_path):
     # spot checks
     assert params["pretrained"]["conv1"]["kernel"].shape == (7, 7, 3, 64)
     assert params["pretrained"]["layer1_0"]["conv2"]["kernel"].shape[-1] == 256
-    assert params["refinenet4"]["resConfUnit1"]["conv1"]["bias"].shape == (256,)
+    assert params["refinenet3"]["resConfUnit1"]["conv1"]["bias"].shape == (256,)
+    # refinenet4 receives no skip input; its resConfUnit1 is dead weight in
+    # the checkpoint and must NOT be emitted (MidasNet has no such module)
+    assert "resConfUnit1" not in params["refinenet4"]
     assert params["output_conv3"]["kernel"].shape == (1, 1, 32, 1)
     assert stats["pretrained"]["bn1"]["mean"].shape == (64,)
     # kernel transposition correctness

@@ -108,6 +108,11 @@ def grid_sample(data: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     y0 = jnp.clip(jnp.floor(y), 0, H - 2).astype(jnp.int32)
     rx = (x - x0)[..., None]
     ry = (y - y0)[..., None]
+    # NOTE: 2D advanced indexing deliberately. A flattened linear-index
+    # jnp.take formulation wins a standalone microbenchmark of the sampling
+    # gradient (~30%) but LOSES ~16% on the full fused train step — the
+    # composed program fuses the 2D gather with its surrounding elementwise
+    # ops better. Trust the end-to-end bench, not the microbenchmark.
     g00 = data[y0, x0]
     g01 = data[y0, x0 + 1]
     g10 = data[y0 + 1, x0]

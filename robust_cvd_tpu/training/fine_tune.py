@@ -499,14 +499,23 @@ class FineTuner:
                 {"epoch": epoch, "loss": mean_loss, "sec": time.perf_counter() - t0}
             )
             if self.writer is not None:
-                # scalar logging matches the reference's TB layout
-                # (depth_fine_tuning.py:120-191)
+                # scalar + histogram + image-grid logging matches the
+                # reference's TB layout (depth_fine_tuning.py:120-191)
                 self.writer.add_scalar("Train/loss", mean_loss, epoch)
                 for k, v in last_parts.items():
                     arr = np.asarray(v)
                     self.writer.add_scalar(f"Train/{k}/mean", float(arr.mean()), epoch)
                     self.writer.add_scalar(f"Train/{k}/max", float(arr.max()), epoch)
                     self.writer.add_scalar(f"Train/{k}/min", float(arr.min()), epoch)
+                    self.writer.add_histogram(f"Train/{k}", arr, epoch)
+                if epoch_losses:
+                    self.writer.add_histogram(
+                        "Train/batch_losses",
+                        np.concatenate([np.atleast_1d(np.asarray(x))
+                                        for x in epoch_losses]),
+                        epoch,
+                    )
+                self._log_image_grid(epoch)
 
             if ft.val_epoch_freq >= 0 and (epoch + 1) % ft.val_epoch_freq == 0:
                 self.validate(epoch + 1, total_iters)
@@ -557,6 +566,29 @@ class FineTuner:
         if self.cfg.post_filter and self.pose is not None:
             self.pose.filter_depth(self.cfg.filter_radius)
         return self.history
+
+    def _log_image_grid(self, epoch: int):
+        """Image / inverse-depth / mask grid for the first training pair
+        (reference depth_fine_tuning.py:120-191 image summaries)."""
+        if self.writer is None:
+            return
+        try:
+            img = np.asarray(self.clip.images[self.clip.pair_idx[0, 0]])
+            depth = np.asarray(self.current_depth[self.clip.pair_idx[0, 0]]) \
+                if hasattr(self, "current_depth") else None
+            mask = np.asarray(self.clip.masks[0, 0])
+            self.writer.add_image("Train/image", img, epoch, dataformats="HWC")
+            if depth is not None:
+                inv = 1.0 / np.maximum(depth, 1e-7)
+                inv = inv / max(float(inv.max()), 1e-9)
+                self.writer.add_image(
+                    "Train/inv_depth", inv[None], epoch, dataformats="CHW"
+                )
+            self.writer.add_image(
+                "Train/flow_mask", mask[None], epoch, dataformats="CHW"
+            )
+        except Exception:
+            pass  # logging must never break training
 
     def validate(self, epoch: int, niters: int):
         """Per-pair eval losses + artifacts (reference validate →

@@ -253,3 +253,32 @@ def test_scene_flow_vis_artifacts(tmp_path):
     eval_dir = tmp_path / "eval"
     vis = [f for f in os.listdir(eval_dir) if f.startswith("scene_flow_")]
     assert len(vis) == int(clip.pair_idx.shape[0])
+
+
+def test_tensorboard_artifacts(tmp_path):
+    """TB scalars + histograms + image grid produce event files."""
+    import dataclasses
+    import os
+
+    clip, inputs = make_tiny_setup()
+    cfg = PipelineConfig(
+        opt=PoseOptParams(
+            num_steps=1, coarse_to_fine=False, lm_max_outer=3, lm_cg_iters=4
+        ),
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        ft=dataclasses.replace(
+            cfg.ft, num_epochs=1, batch_size=2, val_epoch_freq=-1,
+            save_tensorboard=True, tensorboard_log_path=str(tmp_path / "tb"),
+        ),
+    )
+    tuner = FineTuner(cfg, TinyAdapter(), clip, inputs)
+    assert tuner.writer is not None
+    tuner.run(num_epochs=1)
+    tuner.writer.flush()
+    events = [
+        f for f in os.listdir(tmp_path / "tb") if "tfevents" in f
+    ]
+    assert events, "no tensorboard event files written"
+    assert os.path.getsize(tmp_path / "tb" / events[0]) > 500

@@ -356,7 +356,11 @@ def _warm_run(
     opt: PoseOptParams, inputs: PoseOptInputs, initial: SolverParams
 ) -> SolverParams:
     """One refinement solve at the previous solution's grid resolution."""
-    warm = dataclasses.replace(opt, lm_max_outer=opt.lm_warm_max_outer)
+    warm = dataclasses.replace(
+        opt,
+        lm_max_outer=opt.lm_warm_max_outer,
+        lm_cg_iters=min(opt.lm_cg_iters, opt.lm_warm_cg_iters),
+    )
     sy, sx = initial.spatial_grid.shape[1:3]
     spatial_cubic = sx > 2 or sy > 2
     return _solve_step(

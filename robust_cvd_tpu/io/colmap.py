@@ -128,10 +128,18 @@ def read_images_binary(path: str) -> Dict[int, ColmapImage]:
                     break
                 name += c
             (num_pts,) = _read(f, "<Q")
-            data = np.asarray(_read(f, f"<{3 * num_pts}d")).reshape(num_pts, 3)
+            # Each point2D record is x:f64, y:f64, point3D_id:i64 ("ddq" —
+            # reference utils/load_colmap.py:422-425; -1 == invalid id, which
+            # is byte-identical to COLMAP's uint64 kInvalidPoint3DId).
+            rec = np.frombuffer(
+                f.read(24 * num_pts),
+                dtype=np.dtype([("xy", "<f8", (2,)), ("pid", "<i8")]),
+                count=num_pts,
+            )
             out[iid] = ColmapImage(
                 iid, qvec, tvec, cam_id, name.decode("utf-8"),
-                data[:, :2].copy(), data[:, 2].astype(np.int64),
+                rec["xy"].astype(np.float64).copy(),
+                rec["pid"].astype(np.int64).copy(),
             )
     return out
 
@@ -251,7 +259,7 @@ def write_images_binary(images: Dict[int, ColmapImage], path: str) -> None:
             f.write(im.name.encode("utf-8") + b"\x00")
             f.write(struct.pack("<Q", len(im.xys)))
             for (x, y), pid in zip(im.xys, im.point3d_ids):
-                f.write(struct.pack("<ddd", x, y, float(pid)))
+                f.write(struct.pack("<ddq", x, y, int(pid)))
 
 
 def write_points3d_binary(points: Dict[int, ColmapPoint3D], path: str) -> None:

@@ -226,9 +226,9 @@ class PoseOptimizer:
         elif self.cfg.opt.dynamic_constraints == "Ransac":
             from ..ops.epipolar import set_static_flags_from_ransac
 
-            h, w = down.shape[1:3]
+            h, w = store.load_color_down().shape[1:3]
             set_static_flags_from_ransac(
-                pair_keys, pairs, (h, w), inv_aspect,
+                pair_keys, pairs, (h, w), store.inv_aspect,
                 self.cfg.opt.epipolar_dist_thresh,
             )
         # "None" leaves everything static.

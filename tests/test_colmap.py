@@ -183,3 +183,34 @@ def test_cli_conversion(tmp_path):
     from robust_cvd_tpu.io.importers import load_scale
 
     np.testing.assert_allclose(load_scale(str(tmp_path)), 2.0, rtol=1e-4)
+
+
+def test_images_binary_byte_layout(tmp_path):
+    """Byte-level golden fixture: point2D records are x:f64 y:f64 id:i64
+    ('ddq' — COLMAP's native layout, reference utils/load_colmap.py:422-425).
+    A reader that parses the id as f64 would see garbage here because the
+    id below (2^40 + 3) is not exactly representable by reinterpretation."""
+    import struct
+
+    path = str(tmp_path / "images.bin")
+    big_id = (1 << 40) + 3
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", 1))                 # num images
+        f.write(struct.pack("<i", 5))                 # image id
+        f.write(struct.pack("<4d", 1.0, 0.0, 0.0, 0.0))
+        f.write(struct.pack("<3d", 0.5, -0.25, 2.0))
+        f.write(struct.pack("<i", 1))                 # camera id
+        f.write(b"frame_000000.png\x00")
+        f.write(struct.pack("<Q", 2))                 # num point2Ds
+        f.write(struct.pack("<ddq", 3.5, 4.5, big_id))
+        f.write(struct.pack("<ddq", 7.0, 8.0, -1))    # -1 == invalid id
+
+    images = C.read_images_binary(path)
+    im = images[5]
+    np.testing.assert_allclose(im.xys, [[3.5, 4.5], [7.0, 8.0]])
+    assert im.point3d_ids.tolist() == [big_id, -1]
+
+    # and the writer reproduces the exact bytes
+    out = str(tmp_path / "rt.bin")
+    C.write_images_binary(images, out)
+    assert open(out, "rb").read() == open(path, "rb").read()

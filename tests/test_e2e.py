@@ -288,3 +288,49 @@ def test_gt_pose_stream_import(tmp_path):
         0.1 * np.arange(N), atol=1e-6,
     )
     assert pose.enabled_frames.all()
+
+
+def test_ransac_dynamic_constraints_pipeline(tmp_path):
+    """`--opt.dynamic_constraints Ransac` must run through the pipeline
+    wrapper end-to-end (reference pose_optimization.py:170-175): constraint
+    build -> epipolar RANSAC static flags -> pose optimization."""
+    from robust_cvd_tpu.config import PipelineConfig, PoseOptParams
+    from robust_cvd_tpu.io.store import VideoStore
+    from robust_cvd_tpu.pipeline.pose import PoseOptimizer
+
+    base = str(tmp_path)
+    rng = np.random.default_rng(3)
+    H, W, N = 32, 48, 3
+    save_frames_txt(pjoin(base, "frames.txt"), W, H, [i / 30 for i in range(N)])
+    store = VideoStore.open(base)
+    # textured frames so the corner detector yields plenty of candidates
+    store.color_down = rng.uniform(0, 1, (N, H, W, 3)).astype(np.float32)
+    depth = np.full((N, H, W), 2.0, np.float32)
+    store.save_depth_stream("depth_tiny", depth)
+    # pure horizontal translation flow — a valid rigid epipolar geometry
+    for i in range(N - 1):
+        for (a, b), sgn in (((i, i + 1), 1.0), ((i + 1, i), -1.0)):
+            flow = np.zeros((H, W, 2), np.float32)
+            flow[..., 0] = 2.0 * sgn
+            store.save_flow(a, b, flow)
+            store.save_flow_mask(a, b, np.ones((H, W), bool))
+    store.save_flow_list(
+        [(a, b, 1.0) for i in range(N - 1) for (a, b) in ((i, i + 1), (i + 1, i))]
+    )
+
+    cfg = PipelineConfig(
+        path=base,
+        opt=PoseOptParams(
+            dynamic_constraints="Ransac",
+            num_steps=1, ctf_long=3, ctf_short=2,
+            lm_max_outer=2, lm_cg_iters=4,
+        ),
+    )
+    pose = PoseOptimizer(cfg, store, "depth_tiny")
+    # flags were assigned (all-static for a consistent rigid motion, or the
+    # degenerate-F fallback; either way the branch executed without error)
+    for k in pose.pair_keys:
+        assert pose.pairs[k].is_static.dtype == bool
+        assert len(pose.pairs[k].is_static) == len(pose.pairs[k].loc0)
+    params = pose.optimize_poses()
+    assert params is not None

@@ -136,7 +136,7 @@ def build_corr_pyramid(fmap1, fmap2, num_levels=4):
     return pyramid
 
 
-def lookup_corr(pyramid, coords, radius=4):
+def lookup_corr(pyramid, coords, radius=4, dtype=jnp.bfloat16):
     """Bilinear lookup of the correlation pyramid around `coords`
     (reference corr.py:26-47). coords: (B, H, W, 2) pixel coords in image2
     at 1/8 res. Returns (B, H, W, num_levels * (2r+1)^2).
@@ -152,6 +152,7 @@ def lookup_corr(pyramid, coords, radius=4):
     r = radius
     K = 2 * r + 1
     k = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    prec = None if dtype == jnp.bfloat16 else _HI
 
     out = []
     for i, corr in enumerate(pyramid):
@@ -170,20 +171,28 @@ def lookup_corr(pyramid, coords, radius=4):
         # Selectors/matmuls run in bf16 (native MXU; the bilinear fractions
         # and corr features tolerate it), accumulation in f32.
         R = (
-            jax.nn.one_hot(rows, h2, dtype=jnp.bfloat16) * (1.0 - ry).astype(jnp.bfloat16)
-            + jax.nn.one_hot(rows + 1, h2, dtype=jnp.bfloat16) * ry.astype(jnp.bfloat16)
+            jax.nn.one_hot(rows, h2, dtype=dtype) * (1.0 - ry).astype(dtype)
+            + jax.nn.one_hot(rows + 1, h2, dtype=dtype) * ry.astype(dtype)
         )  # (B, Q, K, h2)
         C = (
-            jax.nn.one_hot(cols, w2, dtype=jnp.bfloat16) * (1.0 - rx).astype(jnp.bfloat16)
-            + jax.nn.one_hot(cols + 1, w2, dtype=jnp.bfloat16) * rx.astype(jnp.bfloat16)
+            jax.nn.one_hot(cols, w2, dtype=dtype) * (1.0 - rx).astype(dtype)
+            + jax.nn.one_hot(cols + 1, w2, dtype=dtype) * rx.astype(dtype)
         )  # (B, Q, K, w2)
 
-        corr_q = corr.reshape(B, Q, h2, w2).astype(jnp.bfloat16)
+        corr_q = corr.reshape(B, Q, h2, w2).astype(dtype)
         rowed = jnp.einsum(
-            "bqrh,bqhw->bqrw", R, corr_q, preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)
+            "bqrh,bqhw->bqrw", R, corr_q, precision=prec,
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        # window flattened x-offset-major: the reference's lookup builds its
+        # offset grid as meshgrid(dy, dx) but adds the FIRST output to the x
+        # coordinate (corr.py:36-40), so checkpoint update-block weights
+        # expect channel a*K+b == offset (dx=a-r, dy=b-r). Emitting (dy, dx)
+        # order here would silently permute channels under ported weights
+        # (caught by tests/test_torch_parity.py).
         win = jnp.einsum(
-            "bqrw,bqcw->bqrc", rowed, C, preferred_element_type=jnp.float32
+            "bqrw,bqcw->bqcr", rowed, C, precision=prec,
+            preferred_element_type=jnp.float32,
         )
         out.append(win.reshape(B, H, W, K * K))
     return jnp.concatenate(out, axis=-1)
@@ -292,14 +301,17 @@ class _IterBody(nn.Module):
     large end-to-end win on this backend)."""
 
     corr_radius: int = 4
+    dtype: type = jnp.bfloat16
 
     @nn.compact
     def __call__(self, carry, _xs):
         net, coords1, coords0, inp, pyramid = carry
         coords1 = jax.lax.stop_gradient(coords1)
-        corr = lookup_corr(list(pyramid), coords1, self.corr_radius)
+        corr = lookup_corr(list(pyramid), coords1, self.corr_radius,
+                           dtype=self.dtype)
         flow = coords1 - coords0
-        net, mask, delta = BasicUpdateBlock(name="block")(net, inp, corr, flow)
+        net, mask, delta = BasicUpdateBlock(dtype=self.dtype, name="block")(
+            net, inp, corr, flow)
         return (net, coords1 + delta, coords0, inp, pyramid), mask
 
 
@@ -314,19 +326,21 @@ class RAFT(nn.Module):
     corr_radius: int = 4
     hidden_dim: int = 128
     context_dim: int = 128
+    dtype: type = jnp.bfloat16
 
     @nn.compact
     def __call__(self, image1, image2, train: bool = False):
         img1 = 2.0 * (image1 / 255.0) - 1.0
         img2 = 2.0 * (image2 / 255.0) - 1.0
 
-        fnet = BasicEncoder(256, "instance", name="fnet")
+        fnet = BasicEncoder(256, "instance", dtype=self.dtype, name="fnet")
         fmap1 = fnet(img1, train)
         fmap2 = fnet(img2, train)
         pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
 
         cnet = BasicEncoder(
-            self.hidden_dim + self.context_dim, "batch", name="cnet"
+            self.hidden_dim + self.context_dim, "batch", dtype=self.dtype,
+            name="cnet",
         )(img1, train)
         net = nn.tanh(cnet[..., : self.hidden_dim])
         inp = nn.relu(cnet[..., self.hidden_dim :])
@@ -339,7 +353,8 @@ class RAFT(nn.Module):
         )
         coords0 = jnp.broadcast_to(jnp.stack([xs, ys], -1), (B, h, w, 2))
 
-        body = _IterBody(corr_radius=self.corr_radius, name="update_block")
+        body = _IterBody(corr_radius=self.corr_radius, dtype=self.dtype,
+                         name="update_block")
         scan_body = nn.scan(
             _IterBody.__call__.__wrapped__
             if hasattr(_IterBody.__call__, "__wrapped__")

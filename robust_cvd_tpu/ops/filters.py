@@ -50,6 +50,10 @@ def flow_guided_filter(
     masks_bwd: jnp.ndarray,
     frame_radius: int = 4,
     median: bool = False,
+    far_flows: Optional[jnp.ndarray] = None,
+    far_masks: Optional[jnp.ndarray] = None,
+    far_tgt: Optional[jnp.ndarray] = None,
+    far_valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Flow-guided spatio-temporal depth filter (spatial_radius = 0, the
     pipeline default — reference Processor.h:66, pose_optimization.py:292).
@@ -60,6 +64,23 @@ def flow_guided_filter(
     masks_fwd:    (N, H, W)    bool
     flows_bwd:    (N, H, W, 2) flow i -> i-1 (first frame unused)
     masks_bwd:    (N, H, W)    bool
+
+    Far connections (reference Processor.cpp:414-426, 521-545, enabled by
+    Params.farConnections): non-consecutive flow pairs (i, fi) with fi
+    outside the +-frame_radius window contribute one single-hop sample each,
+    with the same depth-ratio weights. Padded per-frame tensors:
+
+    far_flows: (N, F, H, W, 2) flow i -> far_tgt[i, f]
+    far_masks: (N, F, H, W)    bool
+    far_tgt:   (N, F) int32 target frame per slot
+    far_valid: (N, F) bool — slot occupancy (pair counts differ per frame)
+
+    Divergence note: when a far pair's mask rejects a pixel, the reference
+    `break`s out of its far loop, dropping the REMAINING far pairs for that
+    pixel in directory-iteration (i.e. unspecified) order; we evaluate each
+    far pair independently — the deterministic superset of any reference
+    ordering.
+
     Returns filtered (N, H, W).
     """
     N, H, W = depth.shape
@@ -136,6 +157,34 @@ def flow_guided_filter(
     vs = jnp.concatenate(
         [jnp.ones((1, N, H, W), bool), v_fwd, v_bwd], axis=0
     ).astype(depth.dtype)
+
+    if far_flows is not None and far_flows.shape[1] > 0:
+        F = far_flows.shape[1]
+        # single hop from the integer pixel grid: the mask/flow are read at
+        # the pixel itself (the reference's int(x+0.5) rounding is exact on
+        # the untracked start location, Processor.cpp:523-535)
+        new_loc = pix[None, None] + far_flows  # (N, F, H, W, 2)
+        inb = (
+            (new_loc[..., 0] >= -0.5)
+            & (new_loc[..., 0] < W - 0.5)
+            & (new_loc[..., 1] >= -0.5)
+            & (new_loc[..., 1] < H - 0.5)
+        )
+        ok = (far_masks > 0) & inb & far_valid[:, :, None, None]
+
+        tgt_c = jnp.clip(far_tgt, 0, N - 1)  # (N, F)
+
+        def sample_far(fidx, l):
+            return geometry.grid_sample(world_points[fidx], l)
+
+        w_pts = jax.vmap(jax.vmap(sample_far))(tgt_c, new_loc)  # (N,F,H,W,3)
+        z_far = jax.vmap(zdepth_of, in_axes=(0, 0))(
+            w_pts, jnp.arange(N)
+        )  # (N, F, H, W)
+        zs = jnp.concatenate([zs, z_far.transpose(1, 0, 2, 3)], axis=0)
+        vs = jnp.concatenate(
+            [vs, ok.transpose(1, 0, 2, 3).astype(depth.dtype)], axis=0
+        )
 
     ratio = jnp.maximum(zs, ref_z[None]) / jnp.maximum(
         jnp.minimum(zs, ref_z[None]), 1e-12

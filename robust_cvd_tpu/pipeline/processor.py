@@ -56,6 +56,7 @@ class ProcessorParams:
     depth_sigma: float = 0.3
     color_sigma: float = 0.0
     median: bool = False
+    far_connections: bool = False
     max_depth: float = 1000.0
     match_separation: int = 10
     track_spawn_distance: int = 20
@@ -141,11 +142,48 @@ class Processor:
             except FileNotFoundError:
                 continue
 
+        far = {}
+        if p.far_connections:
+            far = self._far_connection_tensors((N, H, W), p.frame_radius)
+
         return filters.flow_guided_filter(
             depth, world, cams,
             jnp.asarray(flows_fwd), jnp.asarray(masks_fwd),
             jnp.asarray(flows_bwd), jnp.asarray(masks_bwd),
-            frame_radius=p.frame_radius, median=p.median,
+            frame_radius=p.frame_radius, median=p.median, **far,
+        )
+
+    def _far_connection_tensors(self, shape, frame_radius: int):
+        """Padded per-frame far-pair stacks for the flow-guided filter
+        (reference Processor.cpp:414-426: pairs (i, fi) on disk with fi
+        outside the +-frameRadius window around i)."""
+        store = self.store
+        N, H, W = shape
+        by_frame = {i: [] for i in range(N)}
+        for (i, j, _) in store.load_flow_list():
+            if 0 <= i < N and 0 <= j < N and abs(j - i) > frame_radius:
+                by_frame[i].append(j)
+        F = max((len(v) for v in by_frame.values()), default=0)
+        if F == 0:
+            return {}
+        far_flows = np.zeros((N, F, H, W, 2), np.float32)
+        far_masks = np.zeros((N, F, H, W), bool)
+        far_tgt = np.zeros((N, F), np.int32)
+        far_valid = np.zeros((N, F), bool)
+        for i, tgts in by_frame.items():
+            for f, j in enumerate(tgts):
+                try:
+                    far_flows[i, f] = store.load_flow(i, j)
+                    far_masks[i, f] = store.load_flow_mask(i, j)
+                except FileNotFoundError:
+                    continue
+                far_tgt[i, f] = j
+                far_valid[i, f] = True
+        return dict(
+            far_flows=jnp.asarray(far_flows),
+            far_masks=jnp.asarray(far_masks),
+            far_tgt=jnp.asarray(far_tgt),
+            far_valid=jnp.asarray(far_valid),
         )
 
     def clip_max_depth(self, p: ProcessorParams):

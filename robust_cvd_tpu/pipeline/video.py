@@ -58,6 +58,36 @@ def _resize_area(image: np.ndarray, out_hw) -> np.ndarray:
     return np.asarray(out, np.float32) / 255.0
 
 
+def extract_container_pts(video_file: str):
+    """Real per-frame presentation timestamps from the video container
+    (reference video.py:62-84 shells out to ffprobe for packet pts and
+    sorts them; lib/Importer.cpp:197-238 then remaps to zero and enforces
+    monotonicity — our load_frames_txt applies the same rules).
+
+    Uses PyAV when importable; returns a sorted list of seconds, or None
+    when no container demuxer is available (caller falls back to synthetic
+    pts and says so)."""
+    try:
+        import av  # not in the base image; gated
+    except ImportError:
+        return None
+    try:
+        with av.open(video_file) as container:
+            stream = container.streams.video[0]
+            tb = float(stream.time_base)
+            pts = [
+                float(p.pts) * tb
+                for p in container.demux(stream)
+                if p.pts is not None
+            ]
+    except (av.AVError, IndexError, OSError):
+        return None
+    if not pts:
+        return None
+    pts.sort()  # decode order != presentation order (B-frames)
+    return pts
+
+
 class VideoStage:
     def __init__(self, base_dir: str, video_file: str = ""):
         self.base_dir = base_dir
@@ -86,13 +116,24 @@ class VideoStage:
 
         import imageio.v3 as iio
 
-        pts = []
+        n = 0
         w = h = None
         for i, frame in enumerate(iio.imiter(self.video_file)):
             if w is None:
                 h, w = frame.shape[:2]
             save_png_color(pjoin(full_dir, frame_name(i, ".png")), frame)
-            pts.append(i / 30.0)  # metadata-pts unavailable through imiter
+            n += 1
+
+        pts = extract_container_pts(self.video_file)
+        if pts is None or len(pts) != n:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "no container pts available for %s (need PyAV); "
+                "synthesizing 30 fps timestamps — variable-frame-rate "
+                "inputs will carry wrong pts", self.video_file,
+            )
+            pts = [i / 30.0 for i in range(n)]
         save_frames_txt(frames_txt, w, h, pts)
         return load_frames_txt(frames_txt)
 

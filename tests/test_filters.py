@@ -97,3 +97,90 @@ def test_clip_max_depth():
     np.testing.assert_allclose(
         np.asarray(filters.clip_max_depth(d, 1000.0)), [1.0, 1000.0]
     )
+
+
+def test_flow_guided_filter_far_connections():
+    """Far pairs (outside the +-frame_radius window) contribute one
+    single-hop sample with the same depth-ratio weights (reference
+    Processor.cpp:414-426, 521-545); numpy oracle on frame 0."""
+    N, H, W = 4, 8, 10
+    fx = fy = 12.0
+    intr = jnp.broadcast_to(
+        jnp.asarray([fx, fy, (W - 1) / 2, (H - 1) / 2]), (N, 4)
+    )
+    depth = np.full((N, H, W), 2.0, np.float32)
+    depth[3] = 3.0
+    depth = jnp.asarray(depth)
+    pts = geometry.depth_to_points(depth, intr)
+    cams = FilterCameras(
+        position=jnp.zeros((N, 3)),
+        forward=jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), (N, 3)),
+        intrinsics=intr,
+    )
+    flows = jnp.zeros((N, H, W, 2))
+    masks = jnp.ones((N, H, W), bool)
+
+    base = filters.flow_guided_filter(
+        depth, pts, cams, flows, masks, flows, masks, frame_radius=1
+    )
+    # one far pair: frame 0 -> frame 3 (|3-0| > radius 1), zero flow
+    far = dict(
+        far_flows=jnp.zeros((N, 1, H, W, 2)),
+        far_masks=jnp.ones((N, 1, H, W), bool),
+        far_tgt=jnp.zeros((N, 1), jnp.int32).at[0, 0].set(3),
+        far_valid=jnp.zeros((N, 1), bool).at[0, 0].set(True),
+    )
+    out = filters.flow_guided_filter(
+        depth, pts, cams, flows, masks, flows, masks, frame_radius=1, **far
+    )
+
+    # only frame 0 gains a sample
+    np.testing.assert_allclose(np.asarray(out[1:]), np.asarray(base[1:]), atol=1e-6)
+    assert not np.allclose(np.asarray(out[0]), np.asarray(base[0]))
+
+    # numpy oracle for frame 0: samples {self 2.0, fwd-chain 2.0, far 3.0}
+    w_near = np.exp(-3.0 * 1.0)
+    w_far = np.exp(-3.0 * (3.0 / 2.0))
+    expect = (2.0 * w_near * 2 + 3.0 * w_far) / (w_near * 2 + w_far)
+    np.testing.assert_allclose(np.asarray(out[0]), expect, atol=1e-3)
+
+    # a masked far pair contributes nothing
+    far["far_masks"] = jnp.zeros((N, 1, H, W), bool)
+    out_m = filters.flow_guided_filter(
+        depth, pts, cams, flows, masks, flows, masks, frame_radius=1, **far
+    )
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(base), atol=1e-6)
+
+
+def test_processor_far_connections_pipeline(tmp_path):
+    """ProcessorParams.far_connections is honored end-to-end through the
+    store-backed filter path."""
+    import os
+    from os.path import join as pjoin
+
+    from robust_cvd_tpu.io.frames import save_frames_txt
+    from robust_cvd_tpu.io.store import VideoStore
+    from robust_cvd_tpu.pipeline.processor import Processor, ProcessorParams
+
+    base = str(tmp_path)
+    N, H, W = 4, 8, 10
+    save_frames_txt(pjoin(base, "frames.txt"), W, H, [i / 30 for i in range(N)])
+    store = VideoStore.open(base)
+    store.color_down = np.zeros((N, H, W, 3), np.float32)
+    depth = np.full((N, H, W), 2.0, np.float32)
+    depth[3] = 3.0
+    store.save_depth_stream("d", depth)
+    pairs = [(i, i + 1) for i in range(N - 1)] + [(i + 1, i) for i in range(N - 1)]
+    pairs += [(0, 3), (3, 0)]
+    for (a, b) in pairs:
+        store.save_flow(a, b, np.zeros((H, W, 2), np.float32))
+        store.save_flow_mask(a, b, np.ones((H, W), bool))
+    store.save_flow_list([(a, b, 1.0) for (a, b) in pairs])
+
+    proc = Processor(store)  # camera falls back to CameraState.default
+    p = ProcessorParams(frame_radius=1, far_connections=False)
+    base_out = np.asarray(proc.flow_guided_filter_array(jnp.asarray(depth), p))
+    p_far = ProcessorParams(frame_radius=1, far_connections=True)
+    far_out = np.asarray(proc.flow_guided_filter_array(jnp.asarray(depth), p_far))
+    assert not np.allclose(far_out[0], base_out[0])
+    np.testing.assert_allclose(far_out[1], base_out[1], atol=1e-6)

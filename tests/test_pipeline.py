@@ -132,3 +132,72 @@ def test_visualization_helpers():
 
     masked = viz.apply_mask(np.full((4, 4, 3), 200, np.uint8), np.zeros((4, 4)))
     assert masked.max() <= 60
+
+
+def test_extract_container_pts_fake_av(monkeypatch):
+    """Container pts come from the demuxer in decode order and are sorted
+    into presentation order (reference video.py:62-84 sorts ffprobe's
+    packet pts). PyAV is absent in this environment, so the module surface
+    is faked."""
+    import sys
+    import types
+
+    from robust_cvd_tpu.pipeline.video import extract_container_pts
+
+    class _Pkt:
+        def __init__(self, pts):
+            self.pts = pts
+
+    class _Container:
+        class streams:
+            video = [types.SimpleNamespace(time_base=1 / 1000)]
+
+        def demux(self, stream):
+            # decode order != presentation order (B-frames), one None pts
+            return [_Pkt(0), _Pkt(66), _Pkt(33), _Pkt(None), _Pkt(132)]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake_av = types.ModuleType("av")
+    fake_av.open = lambda path: _Container()
+    fake_av.AVError = OSError
+    monkeypatch.setitem(sys.modules, "av", fake_av)
+
+    pts = extract_container_pts("whatever.mp4")
+    np.testing.assert_allclose(pts, [0.0, 0.033, 0.066, 0.132])
+
+
+def test_irregular_pts_roundtrip(tmp_path):
+    """Variable-frame-rate pts written to frames.txt are remapped to start
+    at zero on load (reference Importer.cpp:197-238) and survive the
+    video.dat container round-trip."""
+    from robust_cvd_tpu.io.frames import load_frames_txt
+    from robust_cvd_tpu.io import video_dat as vd
+
+    base = str(tmp_path)
+    irregular = [0.5, 0.533, 0.6, 0.72]  # VFR: uneven spacing, offset start
+    save_frames_txt(pjoin(base, "frames.txt"), 32, 24, irregular)
+    meta = load_frames_txt(pjoin(base, "frames.txt"))
+    np.testing.assert_allclose(meta.pts, [0.0, 0.033, 0.1, 0.22], atol=1e-6)
+
+    container = vd.VideoDat(
+        pts=list(meta.pts),
+        color_streams=[vd.ColorStreamInfo("full", "color_full", ".png", 21, 32, 24)],
+        depth_streams=[],
+        duration=meta.pts[-1],
+        width=32,
+        height=24,
+    )
+    path = pjoin(base, "video.dat")
+    vd.save_video_dat(path, container)
+    loaded = vd.load_video_dat(path)
+    np.testing.assert_allclose(loaded.pts, meta.pts, atol=1e-6)
+
+    # non-monotonic pts are rejected (Importer.cpp monotonicity rule)
+    save_frames_txt(pjoin(base, "frames.txt"), 32, 24, [0.0, 0.2, 0.1])
+    with pytest.raises(ValueError):
+        load_frames_txt(pjoin(base, "frames.txt"))

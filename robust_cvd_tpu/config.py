@@ -282,3 +282,31 @@ def parse_config(argv=None) -> PipelineConfig:
             f"--opt.dynamic_constraints must be one of {DYNAMIC_CONSTRAINT_MODES}"
         )
     return cfg
+
+
+def non_default_params(cfg: PipelineConfig) -> list:
+    """Lines describing every config value that differs from its default
+    (reference PRINT_PARAM_IF_NEQ, lib/core/ParamsBase.h:25-28 — the C++
+    side prints only changed params at startup so real runs are
+    reproducible from the log)."""
+
+    def walk(obj, default, prefix=""):
+        lines = []
+        for f in dataclasses.fields(obj):
+            v = getattr(obj, f.name)
+            d = getattr(default, f.name)
+            if dataclasses.is_dataclass(v):
+                lines += walk(v, d, f"{prefix}{f.name}.")
+            elif v != d:
+                lines.append(f"{prefix}{f.name} = {v!r} (default {d!r})")
+        return lines
+
+    return walk(cfg, PipelineConfig(path=cfg.path))
+
+
+def echo_non_default(cfg: PipelineConfig) -> None:
+    lines = non_default_params(cfg)
+    if lines:
+        print("Non-default parameters:")
+        for ln in lines:
+            print(f"  {ln}")

@@ -61,6 +61,13 @@ def save_raw_image(path, image: np.ndarray) -> None:
         f.write(image.tobytes())
 
 
+def read_raw_header(path):
+    """(rows, cols, cv_type) from a `.raw` file without reading pixels."""
+    with open(path, "rb") as f:
+        h, w, cvt, _ = _HEADER.unpack(f.read(_HEADER.size))
+    return h, w, cvt
+
+
 def load_raw_image(path) -> np.ndarray:
     """Read a `.raw` container image as (H, W) or (H, W, C)."""
     with open(path, "rb") as f:

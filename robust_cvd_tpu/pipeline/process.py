@@ -75,8 +75,10 @@ class DatasetProcessor:
 
     def pipeline(self):
         cfg = self.cfg
+        from ..config import echo_non_default
         from ..utils.experiment import StageTracer
 
+        echo_non_default(cfg)  # PRINT_PARAM_IF_NEQ (core/ParamsBase.h:25-28)
         tracer = self.tracer = StageTracer()
         video = VideoStage(cfg.path, cfg.video_file)
         with tracer.span("extract_frames"):
@@ -88,6 +90,7 @@ class DatasetProcessor:
             video.downscale_frames("color_flow", FLOW_MAX_SIZE, ".png", FLOW_ALIGN)
 
         store = VideoStore.open(cfg.path)
+        store.print_info()  # reference DepthVideo::printInfo
 
         with tracer.span("compute_initial_depth"):
             depth = compute_initial_depth(store, self._depth_model(), cfg.model_type)

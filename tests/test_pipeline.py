@@ -201,3 +201,29 @@ def test_irregular_pts_roundtrip(tmp_path):
     save_frames_txt(pjoin(base, "frames.txt"), 32, 24, [0.0, 0.2, 0.1])
     with pytest.raises(ValueError):
         load_frames_txt(pjoin(base, "frames.txt"))
+
+
+def test_non_default_param_echo():
+    """Only changed values are echoed (reference PRINT_PARAM_IF_NEQ,
+    lib/core/ParamsBase.h:25-28), including nested --opt.* params."""
+    from robust_cvd_tpu.config import PipelineConfig, PoseOptParams, non_default_params
+
+    cfg = PipelineConfig(path="/x")
+    assert non_default_params(cfg) == []
+
+    cfg = PipelineConfig(path="/x", size=256, opt=PoseOptParams(num_steps=2))
+    lines = non_default_params(cfg)
+    assert any(l.startswith("size = 256") for l in lines)
+    assert any(l.startswith("opt.num_steps = 2") for l in lines)
+    assert len(lines) == 2
+
+
+def test_store_info_lines(clip_dir):
+    """Container summary (reference DepthVideo::printInfo,
+    lib/DepthVideo.cpp:38-89): dims, frames, and per-stream entries."""
+    store = VideoStore.open(clip_dir)
+    lines = store.info_lines()
+    text = "\n".join(lines)
+    assert f"Frame count: {store.num_frames}" in text
+    assert "Color streams:" in text and "full" in text
+    assert "Depth streams:" in text

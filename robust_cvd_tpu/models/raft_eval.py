@@ -56,6 +56,10 @@ def flow_metrics(
     }
     outlier = (epe > 3.0) & (epe / jnp.maximum(mag, 1e-9) > 0.05)
     out["fl_all"] = vmean(outlier.astype(epe.dtype))
+    # valid-pixel count, so aggregation across batches can reproduce the
+    # upstream PIXEL-level averages (samples with differing valid counts —
+    # e.g. KITTI flow_occ — must not be weighted by sample count)
+    out["n"] = jnp.sum(valid)
     return out
 
 
@@ -112,9 +116,10 @@ def evaluate_pairs(
             valid = jnp.asarray(np.stack([b[3] for b in buf]), jnp.float32)
         pred = flow_fn(im1, im2)
         m = metrics_fn(pred, gt, valid)
+        n = float(m.pop("n"))
         for k, v in m.items():
-            sums[k] = sums.get(k, 0.0) + float(v) * len(buf)
-        count += len(buf)
+            sums[k] = sums.get(k, 0.0) + float(v) * n
+        count += n
         buf.clear()
 
     for sample in pairs:

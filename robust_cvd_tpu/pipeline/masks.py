@@ -125,15 +125,19 @@ def compute_dynamic_masks(
 
 def compute_dynamic_masks_rcnn(
     store: VideoStore, weights_path: str, dilate: int = 5,
-    score_thresh: float = 0.5,
+    score_thresh: float = 0.5, test_size: int = 800, max_size: int = 1333,
 ) -> bool:
     """Semantic dynamic masks with the Flax Mask R-CNN
     (reference dynamic_mask_generation.py:107-239: person/vehicle/animal
     union, dilate, invert so white = static). Weights come from a
     detectron2 `mask_rcnn_R_50_FPN` checkpoint pickle.
 
-    The whole clip runs through ONE jitted program per frame shape; frames
-    are padded to a 32-multiple for the FPN."""
+    Test-time resolution matches the reference's detectron2 config: frames
+    come from color_full and are resized so the shortest edge is
+    `test_size` (cap `max_size` on the longest — ResizeShortestEdge
+    defaults the converted weights were trained with); pasted masks are
+    downsampled to the result-tree contract resolution (color_down dims).
+    The whole clip runs through ONE jitted program per frame shape."""
     import jax
     import jax.numpy as jnp
 
@@ -144,17 +148,33 @@ def compute_dynamic_masks_rcnn(
     params = convert_mask_rcnn_r50fpn(sd)
     net = MaskRCNN()
 
-    images = store.load_color_down()  # (N, H, W, 3) in [0, 1]
-    n, h, w = images.shape[:3]
-    ph = -(-h // 32) * 32
-    pw = -(-w // 32) * 32
+    down = store.load_color_down()  # (N, h, w, 3) in [0, 1]
+    n, h, w = down.shape[:3]
+    try:
+        images = store.load_color_full()  # the reference's input resolution
+    except (FileNotFoundError, ValueError):
+        images = down
+    hf, wf = images.shape[1:3]
+
+    # detectron2 ResizeShortestEdge(test_size, max_size)
+    scale = test_size / min(hf, wf)
+    if scale * max(hf, wf) > max_size:
+        scale = max_size / max(hf, wf)
+    th, tw = int(round(hf * scale)), int(round(wf * scale))
+    ph = -(-th // 32) * 32
+    pw = -(-tw // 32) * 32
 
     @jax.jit
     def one_frame(img):
+        net_in = jax.image.resize(img, (th, tw, 3), "bilinear")
         x = jnp.zeros((1, ph, pw, 3), jnp.float32)
-        x = x.at[0, :h, :w].set(img)
+        x = x.at[0, :th, :tw].set(net_in)
         det = net.apply({"params": params}, x)
-        return dynamic_mask_from_detections(det, (ph, pw), score_thresh)[:h, :w]
+        m = dynamic_mask_from_detections(det, (ph, pw), score_thresh)[:th, :tw]
+        # contract resolution: the result tree stores masks at color_down
+        # dims (consumed by the constraint builder's distance transform)
+        m_small = jax.image.resize(m.astype(jnp.float32), (h, w), "bilinear")
+        return m_small > 0.25
 
     out_dir = pjoin(store.base_dir, "dynamic_mask")
     os.makedirs(out_dir, exist_ok=True)

@@ -97,3 +97,40 @@ def test_make_flow_fn_tiny_raft():
     out = fn(jnp.zeros((1, 37, 45, 3)), jnp.zeros((1, 37, 45, 3)))
     assert out.shape == (1, 37, 45, 2)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_evaluate_pairs_pixel_level_aggregation():
+    """Samples with different valid-pixel counts must be aggregated at the
+    PIXEL level (upstream evaluate.py sums epe over all valid pixels), not
+    weighted per sample."""
+    from robust_cvd_tpu.models.raft_eval import evaluate_pairs
+
+    H, W = 8, 8
+    gt = np.zeros((H, W, 2), np.float32)
+    im = np.zeros((H, W, 3), np.float32)
+
+    def flow_fn(im1, im2):
+        # constant error of 1 px in x for every pixel of every sample
+        return jnp.ones((im1.shape[0], H, W, 2)) * jnp.asarray([1.0, 0.0])
+
+    # sample A: all pixels valid; sample B: ONE valid pixel
+    va = np.ones((H, W), np.float32)
+    vb = np.zeros((H, W), np.float32)
+    vb[0, 0] = 1.0
+    out = evaluate_pairs(flow_fn, [(im, im, gt, va), (im, im, gt, vb)], batch=1)
+    # pixel-level: all valid pixels have epe sqrt(2)... no — error (1,0) -> epe 1
+    np.testing.assert_allclose(out["epe"], 1.0, atol=1e-6)
+
+    def flow_fn2(im1, im2):
+        # 10px error everywhere (outlier); fl_all differs per aggregation:
+        # per-sample mean would be (1 + 1)/2 = 1 either way, so scale one
+        # sample's error to 0 instead
+        return jnp.zeros((im1.shape[0], H, W, 2))
+
+    gt_b = np.zeros((H, W, 2), np.float32)
+    gt_b[..., 0] = 10.0  # pred 0 -> epe 10 (outlier) on sample B only
+    out = evaluate_pairs(
+        flow_fn2, [(im, im, gt, va), (im, im, gt_b, vb)], batch=1
+    )
+    # 64 valid good pixels + 1 valid outlier pixel -> 1/65, not (0+1)/2
+    np.testing.assert_allclose(out["fl_all"], 1.0 / 65.0, atol=1e-6)

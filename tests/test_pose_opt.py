@@ -184,3 +184,62 @@ def test_scale_shift_value_transform():
     sc_rms = final_rms(sc)
     assert ss_rms < 0.05, ss_rms
     assert ss_rms < 0.7 * sc_rms, (ss_rms, sc_rms)
+
+
+def test_warm_start_survives_depth_refresh():
+    """The real alternation refreshes source depths between epochs: the
+    fine-tuned network partially absorbs the previous epoch's correction
+    while the warm initial still carries its stale depth_grid (a
+    double-correction starting point the static-input equivalence test
+    never exercised). Warm re-solves must still converge like cold ones."""
+    opt = _small_opt()
+    cold_opt = dataclasses.replace(opt, warm_start=False)
+    true, cfg, data = make_scene(num_frames=4, pts_per_pair=24)
+    rng = np.random.default_rng(3)
+    frame_scale = rng.uniform(0.8, 1.25, 4).astype(np.float32)
+
+    def scaled(fs):
+        s0 = fs[np.asarray(data.pair[:, 0])][:, None]
+        s1 = fs[np.asarray(data.pair[:, 1])][:, None]
+        return data._replace(
+            depth0=data.depth0 / jnp.asarray(s0),
+            depth1=data.depth1 / jnp.asarray(s1),
+        )
+
+    def rms(params, d):
+        final_cfg = SceneConfig(
+            aspect=1.0,
+            depth_spec=GridSpec(
+                gx=params.depth_grid.shape[3], gy=params.depth_grid.shape[2]
+            ),
+            spatial_spec=GridSpec(),
+            intr_opt=opt.intr_opt,
+            fixed_vfocal=0.5,
+        )
+        r = residuals.static_scene_residuals(params, final_cfg, d)
+        return float(jnp.sqrt(jnp.mean(r * r)))
+
+    def alternate(o):
+        cur_scale = frame_scale.copy()
+        inputs = PoseOptInputs(
+            data=scaled(cur_scale),
+            median_depth=jnp.asarray(2.0 / cur_scale),
+            aspect=1.0,
+            num_frames=4,
+        )
+        params = None
+        for _ in range(3):
+            params = pose_opt.run(o, inputs, initial=params)
+            # the "network" absorbs 70% of the solved per-frame correction
+            g = np.asarray(params.depth_grid).reshape(4, -1).mean(1)
+            cur_scale = cur_scale / (g ** 0.7)
+            inputs = inputs._replace(
+                data=scaled(cur_scale),
+                median_depth=jnp.asarray(2.0 / cur_scale),
+            )
+        params = pose_opt.run(o, inputs, initial=params)
+        return rms(params, inputs.data)
+
+    warm_rms = alternate(opt)
+    cold_rms = alternate(cold_opt)
+    assert warm_rms < max(cold_rms * 1.5, 1e-4), (warm_rms, cold_rms)

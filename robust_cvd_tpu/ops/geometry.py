@@ -156,3 +156,120 @@ def intrinsics_px(vfov: jnp.ndarray, hfov: jnp.ndarray, shape) -> jnp.ndarray:
     cx = jnp.full_like(fx, (W - 1) / 2.0)
     cy = jnp.full_like(fy, (H - 1) / 2.0)
     return jnp.stack([fx, fy, cx, cy], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Non-perspective projections.
+#
+# The reference's DepthPhoto carries Equirectangular and Cylindrical in its
+# Intrinsics enum and documents the lat-lon crop semantics
+# (lib/DepthPhoto.h:62-92: angular extents from vFov/hFov, centered at
+# centerLat/centerLon) but only ever builds the Perspective matrix
+# (lib/DepthPhoto.cpp:167). These are the corresponding compute paths.
+#
+# Conventions (shared with the perspective path): camera looks down -z, +y
+# up, +x right; longitude is positive toward +x, latitude positive toward
+# +y; lon = lat = 0 is the forward axis. Depth for these projections is the
+# RADIAL distance along the viewing ray (for perspective it is the planar
+# -z), the natural choice for panoramic geometry.
+# ---------------------------------------------------------------------------
+
+
+def _latlon_to_dir(lon: jnp.ndarray, lat: jnp.ndarray) -> jnp.ndarray:
+    """(lon, lat) angles -> unit direction; (0, 0) -> (0, 0, -1)."""
+    cl = jnp.cos(lat)
+    return jnp.stack([cl * jnp.sin(lon), jnp.sin(lat), -cl * jnp.cos(lon)], axis=-1)
+
+
+def pixels_to_points_equirect(
+    pixels: jnp.ndarray, dist: jnp.ndarray, shape, vfov, hfov,
+    center_lat=0.0, center_lon=0.0,
+) -> jnp.ndarray:
+    """Equirectangular crop: pixel x/y linear in lon/lat across hFov/vFov,
+    centered at (centerLon, centerLat); `dist` is radial distance."""
+    H, W = shape
+    lon = center_lon + (pixels[..., 0] - (W - 1) / 2.0) * (hfov / W)
+    lat = center_lat - (pixels[..., 1] - (H - 1) / 2.0) * (vfov / H)
+    return _latlon_to_dir(lon, lat) * dist[..., None]
+
+
+def project_equirect(
+    points: jnp.ndarray, shape, vfov, hfov, center_lat=0.0, center_lon=0.0
+) -> jnp.ndarray:
+    """Camera-space points -> equirect pixel (x, y); inverse of
+    `pixels_to_points_equirect` up to the radial distance."""
+    H, W = shape
+    lon = jnp.arctan2(points[..., 0], -points[..., 2])
+    lat = jnp.arctan2(
+        points[..., 1], jnp.hypot(points[..., 0], points[..., 2])
+    )
+    x = (lon - center_lon) * (W / hfov) + (W - 1) / 2.0
+    y = (center_lat - lat) * (H / vfov) + (H - 1) / 2.0
+    return jnp.stack([x, y], axis=-1)
+
+
+def pixels_to_points_cylindrical(
+    pixels: jnp.ndarray, dist: jnp.ndarray, shape, vfov, hfov,
+    center_lat=0.0, center_lon=0.0,
+) -> jnp.ndarray:
+    """Cylindrical crop: x linear in lon; y linear in height on the unit
+    cylinder (h spans 2*tan(vFov/2), offset tan(centerLat)); `dist` is
+    radial distance along the (normalized) viewing ray."""
+    H, W = shape
+    lon = center_lon + (pixels[..., 0] - (W - 1) / 2.0) * (hfov / W)
+    h = jnp.tan(center_lat) - (pixels[..., 1] - (H - 1) / 2.0) * (
+        2.0 * jnp.tan(vfov / 2.0) / H
+    )
+    d = jnp.stack([jnp.sin(lon), h, -jnp.cos(lon)], axis=-1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return d * dist[..., None]
+
+
+def project_cylindrical(
+    points: jnp.ndarray, shape, vfov, hfov, center_lat=0.0, center_lon=0.0
+) -> jnp.ndarray:
+    """Camera-space points -> cylindrical pixel (x, y)."""
+    H, W = shape
+    lon = jnp.arctan2(points[..., 0], -points[..., 2])
+    r = jnp.hypot(points[..., 0], points[..., 2])
+    h = points[..., 1] / r
+    x = (lon - center_lon) * (W / hfov) + (W - 1) / 2.0
+    y = (jnp.tan(center_lat) - h) * (H / (2.0 * jnp.tan(vfov / 2.0))) + (
+        H - 1
+    ) / 2.0
+    return jnp.stack([x, y], axis=-1)
+
+
+# io.video_dat.FrameIntrinsics.projection codes (reference
+# lib/DepthPhoto.h:68-73 enum order).
+PROJECTION_PERSPECTIVE = 0
+PROJECTION_EQUIRECTANGULAR = 1
+PROJECTION_CYLINDRICAL = 2
+
+
+def pixels_to_points_proj(
+    projection: int, pixels, depth, shape, vfov, hfov,
+    center_lat=0.0, center_lon=0.0,
+):
+    """Projection-dispatching unprojection. `projection` is static (a wire
+    -format code); depth is planar -z for Perspective and radial otherwise."""
+    if projection == PROJECTION_EQUIRECTANGULAR:
+        return pixels_to_points_equirect(
+            pixels, depth, shape, vfov, hfov, center_lat, center_lon
+        )
+    if projection == PROJECTION_CYLINDRICAL:
+        return pixels_to_points_cylindrical(
+            pixels, depth, shape, vfov, hfov, center_lat, center_lon
+        )
+    return pixels_to_points(intrinsics_px(vfov, hfov, shape), depth, pixels)
+
+
+def project_proj(
+    projection: int, points, shape, vfov, hfov, center_lat=0.0, center_lon=0.0
+):
+    """Projection-dispatching camera-space -> pixel projection."""
+    if projection == PROJECTION_EQUIRECTANGULAR:
+        return project_equirect(points, shape, vfov, hfov, center_lat, center_lon)
+    if projection == PROJECTION_CYLINDRICAL:
+        return project_cylindrical(points, shape, vfov, hfov, center_lat, center_lon)
+    return project(points, intrinsics_px(vfov, hfov, shape))

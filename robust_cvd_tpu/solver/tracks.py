@@ -87,6 +87,60 @@ class TrackTable:
                     cells += [str(t.first_frame + k), repr(float(x)), repr(float(y))]
                 f.write(",".join(cells) + "\n")
 
+    def save_binary(self, path, num_frames: Optional[int] = None):
+        """Reference `DepthVideoTrackTable::save` wire format
+        (core/TrackTable-impl.h:571-602 + TrackBaseSequential::serialize,
+        TrackTable-impl.h:210-221): little-endian
+        [numTracks u64] then per track slot
+        [valid u8] { [firstFrame u64] [numObs u64] [numObs x (x f32, y f32)] },
+        then [framesOffset u64] [numFrames u64] (FrameBase serializes no
+        per-frame payload, TrackTable.h:195-198 — the per-frame track sets
+        are reconstructed on load)."""
+        import struct
+
+        if num_frames is None:
+            num_frames = len(self.frames)
+        with open(path, "wb") as f:
+            f.write(struct.pack("<Q", self._next_id))
+            for tid in range(self._next_id):
+                t = self.tracks.get(tid)
+                if t is None:
+                    f.write(struct.pack("<?", False))
+                    continue
+                f.write(struct.pack("<?", True))
+                f.write(struct.pack("<QQ", t.first_frame, t.length))
+                f.write(np.asarray(t.locs, "<f4").tobytes())
+            f.write(struct.pack("<QQ", 0, num_frames))
+
+    @classmethod
+    def load_binary(cls, path) -> "TrackTable":
+        """Inverse of `save_binary`; reconstructs the per-frame live-track
+        lists the way the reference's deserialize does
+        (core/TrackTable-impl.h:649-694)."""
+        import struct
+
+        tt = cls()
+        with open(path, "rb") as f:
+            (num_tracks,) = struct.unpack("<Q", f.read(8))
+            for tid in range(num_tracks):
+                (valid,) = struct.unpack("<?", f.read(1))
+                if not valid:
+                    continue
+                first, size = struct.unpack("<QQ", f.read(16))
+                locs = np.frombuffer(f.read(8 * size), "<f4").reshape(size, 2)
+                tt.tracks[tid] = Track(
+                    first_frame=int(first),
+                    locs=[(float(x), float(y)) for x, y in locs],
+                )
+            offset, num_frames = struct.unpack("<QQ", f.read(16))
+        tt._next_id = num_tracks
+        tt.frames = [[] for _ in range(offset + num_frames)]
+        for tid in sorted(tt.tracks):
+            t = tt.tracks[tid]
+            for k in range(t.length):
+                tt.frames[t.first_frame + k].append(tid)
+        return tt
+
 
 def compute_tracks(
     corner: np.ndarray,

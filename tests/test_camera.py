@@ -108,3 +108,73 @@ def test_world_to_camera_matrix():
     cam = camera.CameraState.default(1, aspect=1.0)
     M = camera.world_to_camera_matrix(cam.position[0], cam.quaternion[0])
     np.testing.assert_allclose(np.asarray(M), np.eye(4), atol=1e-6)
+
+
+def test_equirect_roundtrip():
+    """project∘unproject == identity for the equirect crop; center pixel
+    looks down the forward axis (reference DepthPhoto.h:62-92 semantics)."""
+    H, W = 20, 32
+    vfov, hfov = 0.9, 1.4
+    pix = geometry.pixel_grid((H, W))
+    rng = np.random.default_rng(3)
+    dist = jnp.asarray(rng.uniform(1.0, 5.0, (H, W)), jnp.float32)
+    pts = geometry.pixels_to_points_equirect(
+        pix, dist, (H, W), vfov, hfov, center_lat=0.1, center_lon=-0.2
+    )
+    # radial distance preserved
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(pts), axis=-1), np.asarray(dist), rtol=1e-5
+    )
+    back = geometry.project_equirect(
+        pts, (H, W), vfov, hfov, center_lat=0.1, center_lon=-0.2
+    )
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pix), atol=1e-3)
+    # center pixel with centered crop -> forward (-z) ray
+    ctr = geometry.pixels_to_points_equirect(
+        jnp.array([(W - 1) / 2.0, (H - 1) / 2.0]), jnp.array(2.0),
+        (H, W), vfov, hfov,
+    )
+    np.testing.assert_allclose(np.asarray(ctr), [0.0, 0.0, -2.0], atol=1e-6)
+
+
+def test_cylindrical_roundtrip():
+    H, W = 18, 40
+    vfov, hfov = 0.8, 2.5
+    pix = geometry.pixel_grid((H, W))
+    rng = np.random.default_rng(4)
+    dist = jnp.asarray(rng.uniform(1.0, 5.0, (H, W)), jnp.float32)
+    pts = geometry.pixels_to_points_cylindrical(
+        pix, dist, (H, W), vfov, hfov, center_lat=0.05, center_lon=0.3
+    )
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(pts), axis=-1), np.asarray(dist), rtol=1e-5
+    )
+    back = geometry.project_cylindrical(
+        pts, (H, W), vfov, hfov, center_lat=0.05, center_lon=0.3
+    )
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pix), atol=1e-3)
+
+
+def test_projection_dispatch_matches_perspective():
+    """Code 0 (Perspective, the wire-format default io/video_dat.py:156)
+    routes to the planar-depth path."""
+    H, W = 12, 16
+    vfov, hfov = 0.7, 0.9
+    pix = geometry.pixel_grid((H, W))
+    depth = jnp.full((H, W), 3.0)
+    pts = geometry.pixels_to_points_proj(
+        geometry.PROJECTION_PERSPECTIVE, pix, depth, (H, W), vfov, hfov
+    )
+    ref = geometry.pixels_to_points(
+        geometry.intrinsics_px(jnp.asarray(vfov), jnp.asarray(hfov), (H, W)),
+        depth, pix,
+    )
+    np.testing.assert_allclose(np.asarray(pts), np.asarray(ref), atol=1e-6)
+    back = geometry.project_proj(
+        geometry.PROJECTION_EQUIRECTANGULAR,
+        geometry.pixels_to_points_proj(
+            geometry.PROJECTION_EQUIRECTANGULAR, pix, depth, (H, W), vfov, hfov
+        ),
+        (H, W), vfov, hfov,
+    )
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pix), atol=1e-3)

@@ -57,6 +57,51 @@ def test_track_csv_roundtrip(tmp_path):
     assert all(isinstance(f, int) for (f, x, y) in first)
 
 
+def test_track_binary_roundtrip(tmp_path):
+    corner, flows, masks, inv_aspect = make_inputs()
+    tt = T.compute_tracks(
+        corner, flows, masks, inv_aspect,
+        spawn_distance=8, prune_distance=2, min_track_length=3,
+    )
+    assert tt.tracks
+    # punch a hole so an invalid (nullptr) slot is exercised
+    victim = sorted(tt.tracks)[0]
+    tt.delete_track(victim)
+    p = tmp_path / "tracks.dat"
+    tt.save_binary(p)
+    loaded = T.TrackTable.load_binary(p)
+    assert loaded.num_tracks() == tt.num_tracks()
+    assert set(loaded.tracks) == set(tt.tracks)
+    for tid, t in tt.tracks.items():
+        lt = loaded.tracks[tid]
+        assert lt.first_frame == t.first_frame
+        np.testing.assert_allclose(np.asarray(lt.locs), np.asarray(t.locs), rtol=1e-6)
+    assert loaded.frames == tt.frames
+
+
+def test_track_binary_layout(tmp_path):
+    """Byte-level check of the reference wire format
+    (core/TrackTable-impl.h:571-602): one valid track, one invalid slot."""
+    import struct
+
+    tt = T.TrackTable()
+    tt.add_frame(); tt.add_frame(); tt.add_frame()
+    tid = tt.create_track(1, (0.25, 0.5))
+    tt.add_obs(tid, 2, (0.375, 0.625))
+    tt.create_track(0, (0.0, 0.0))
+    tt.delete_track(tid + 1)  # slot 1 -> invalid
+    p = tmp_path / "tracks.dat"
+    tt.save_binary(p)
+    expected = (
+        struct.pack("<Q", 2)
+        + struct.pack("<?", True) + struct.pack("<QQ", 1, 2)
+        + struct.pack("<4f", 0.25, 0.5, 0.375, 0.625)
+        + struct.pack("<?", False)
+        + struct.pack("<QQ", 0, 3)
+    )
+    assert p.read_bytes() == expected
+
+
 def test_import_poses(tmp_path):
     p = tmp_path / "poses.txt"
     p.write_text("2\n0 0 0  0 0 0 1  1.2 0.8\n1 0 0  0 0 0 1  1.2 0.8\n")

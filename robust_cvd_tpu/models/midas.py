@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import upsample2x
@@ -30,6 +31,89 @@ from .layers import upsample2x
 # ImageNet normalization (reference midas_v2_model.py:41-42).
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+class GroupedConv3x3(nn.Module):
+    """3x3 grouped convolution with a selectable lowering.
+
+    The checkpoint parameter shape is ALWAYS the grouped one
+    (3, 3, C/groups, features) — identical to nn.Conv with
+    feature_group_count — so torch ports are lowering-agnostic.
+
+    impl:
+      'grouped':     XLA's native grouped conv. Per-group contraction width
+                     is C/groups (8..64 here) — far below the 128-wide MXU,
+                     so the systolic array runs mostly empty.
+      'block_dense': expand the kernel to an equivalent block-diagonal
+                     DENSE kernel at apply time (one broadcast multiply
+                     with an identity mask; XLA folds it). Costs `groups`x
+                     redundant FLOPs but contracts at full MXU width —
+                     measured faster for the narrow-group stages (PERF.md).
+      'im2col':      materialize the 9 shifted taps and contract each group
+                     as ONE batched matmul (G, N*H*W, 9*C/G) x
+                     (G, 9*C/G, F/G): the contraction folds the 3x3 window
+                     into the channel axis, widening it 9x (72..576 here)
+                     with NO redundant FLOPs — the classic systolic-array
+                     grouped-conv lowering.
+    """
+
+    features: int
+    groups: int
+    stride: int = 1
+    dtype: type = jnp.bfloat16
+    impl: str = "grouped"
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        w_in = C // self.groups
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, w_in, self.features),
+            jnp.float32,
+        )
+        k = kernel.astype(self.dtype)
+        if self.impl == "im2col":
+            G = self.groups
+            w_out = self.features // G
+            N, Hi, Wi, _ = x.shape
+            xp = jnp.pad(x.astype(self.dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+            taps = [
+                xp[:, dy : dy + Hi : self.stride, dx : dx + Wi : self.stride, :]
+                for dy in range(3)
+                for dx in range(3)
+            ]
+            pat = jnp.stack(taps, axis=3)  # (N, Ho, Wo, 9, C)
+            Ho, Wo = pat.shape[1], pat.shape[2]
+            pat = pat.reshape(N, Ho, Wo, 9, G, w_in)
+            pat = pat.transpose(4, 0, 1, 2, 3, 5).reshape(G, N * Ho * Wo, 9 * w_in)
+            kk = k.reshape(3, 3, w_in, G, w_out)
+            kk = kk.transpose(3, 0, 1, 2, 4).reshape(G, 9 * w_in, w_out)
+            y = jnp.einsum("gnk,gkf->gnf", pat, kk)
+            return y.transpose(1, 0, 2).reshape(N, Ho, Wo, G * w_out)
+        if self.impl == "block_dense":
+            G = self.groups
+            w_out = self.features // G
+            # dense[h, k, (gi, a), (go, b)] = kernel[h, k, a, go*w_out+b]
+            #                                 * (gi == go)
+            t = k.reshape(3, 3, w_in, G, w_out)  # (3, 3, a, go, b)
+            eye = jnp.eye(G, dtype=self.dtype)
+            dense = (
+                eye[None, None, :, None, :, None]
+                * t[:, :, None, :, :, :]
+            )  # (3, 3, gi, a, go, b)
+            k = dense.reshape(3, 3, C, self.features)
+            fg = 1
+        else:
+            fg = self.groups
+        return jax.lax.conv_general_dilated(
+            x, k,
+            window_strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=fg,
+        )
 
 
 class Bottleneck(nn.Module):
@@ -41,6 +125,7 @@ class Bottleneck(nn.Module):
     base_width: int = 8
     downsample: bool = False
     dtype: type = jnp.bfloat16
+    groups_impl: str = "grouped"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -55,14 +140,12 @@ class Bottleneck(nn.Module):
         y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = norm("bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(
+        y = GroupedConv3x3(
             width,
-            (3, 3),
-            strides=(self.stride, self.stride),
-            padding=((1, 1), (1, 1)),
-            feature_group_count=self.groups,
-            use_bias=False,
+            self.groups,
+            stride=self.stride,
             dtype=self.dtype,
+            impl=self.groups_impl,
             name="conv2",
         )(y)
         y = norm("bn2")(y)
@@ -90,6 +173,9 @@ class ResNeXt101Features(nn.Module):
 
     layers: Sequence[int] = (3, 4, 23, 3)
     dtype: type = jnp.bfloat16
+    # per-stage grouped-conv lowering (see GroupedConv3x3); per-group widths
+    # are 8/16/32/64 for stages 1-4 — narrow stages win as block_dense
+    groups_impl: Sequence[str] = ("grouped",) * 4
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -115,6 +201,7 @@ class ResNeXt101Features(nn.Module):
                     stride=stride if b == 0 else 1,
                     downsample=(b == 0),
                     dtype=self.dtype,
+                    groups_impl=self.groups_impl[stage],
                     name=f"layer{stage + 1}_{b}",
                 )(y, train)
             feats.append(y)
@@ -167,11 +254,18 @@ class MidasNet(nn.Module):
     # the same program structure with a far smaller graph (compile-speed knob
     # for CI / virtual-mesh dry runs on few-core hosts).
     backbone_layers: Sequence[int] = (3, 4, 23, 3)
+    # Measured on v5e (PERF.md, fwd+bwd batch 4 at 224x384, min over warm
+    # trials): grouped everywhere 59.4 ms; block_dense on the 8/16-wide
+    # stages 44.6 ms; block_dense on the 32-wide stage 3 regresses
+    # (51.3 ms) and im2col loses outright (100.6 ms, HBM-bound patch
+    # materialization).
+    groups_impl: Sequence[str] = ("block_dense", "block_dense", "grouped", "grouped")
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         l1, l2, l3, l4 = ResNeXt101Features(
-            layers=tuple(self.backbone_layers), dtype=self.dtype, name="pretrained"
+            layers=tuple(self.backbone_layers), dtype=self.dtype,
+            groups_impl=tuple(self.groups_impl), name="pretrained",
         )(x, train)
 
         rn = lambda ch, name: nn.Conv(

@@ -122,6 +122,59 @@ def grid_sample(data: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return top * (1 - ry) + bot * ry
 
 
+@jax.custom_vjp
+def grid_sample_segsum(data: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """`grid_sample` with a sorted segment-sum data-gradient.
+
+    Forward is identical to `grid_sample`. The backward w.r.t. `data` is a
+    scatter-add of 4 bilinear taps per sample; this VJP instead sorts the
+    4n flat indices and reduces with `segment_sum(indices_are_sorted=True)`.
+    The uv-gradient is delegated to autodiff of the gather-only forward
+    (no scatter there), keeping it bit-identical to `grid_sample`'s.
+
+    MEASURED AND REJECTED as the training default (PERF.md): on the full
+    fine-tune step at 224x384 the sort costs more than XLA's scatter
+    (233.9 vs 170.7 ms/step single-dispatch) — kept for workloads with
+    few samples into large maps, where the scatter is the worse trade.
+    """
+    return grid_sample(data, uv)
+
+
+def _gs_segsum_fwd(data, uv):
+    return grid_sample(data, uv), (data, uv)
+
+
+def _gs_segsum_bwd(res, ct):
+    data, uv = res
+    H, W, C = data.shape
+    _, pull = jax.vjp(lambda u: grid_sample(data, u), uv)
+    (d_uv,) = pull(ct)
+
+    x = jnp.clip(uv[..., 0], 0.0, W - 1.0)
+    y = jnp.clip(uv[..., 1], 0.0, H - 1.0)
+    x0 = jnp.clip(jnp.floor(x), 0, W - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 2).astype(jnp.int32)
+    rx = (x - x0).reshape(-1)[:, None]
+    ry = (y - y0).reshape(-1)[:, None]
+    base = (y0 * W + x0).reshape(-1)
+    ctf = ct.reshape(-1, C)
+    idx = jnp.concatenate([base, base + 1, base + W, base + W + 1])
+    vals = jnp.concatenate([
+        ctf * (1 - rx) * (1 - ry),
+        ctf * rx * (1 - ry),
+        ctf * (1 - rx) * ry,
+        ctf * rx * ry,
+    ])
+    order = jnp.argsort(idx)
+    d_flat = jax.ops.segment_sum(
+        vals[order], idx[order], num_segments=H * W, indices_are_sorted=True
+    )
+    return d_flat.reshape(H, W, C).astype(data.dtype), d_uv
+
+
+grid_sample_segsum.defvjp(_gs_segsum_fwd, _gs_segsum_bwd)
+
+
 def warping_field(
     extrinsics: jnp.ndarray,
     intrinsics: jnp.ndarray,

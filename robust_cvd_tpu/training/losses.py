@@ -101,10 +101,17 @@ def weighted_mean(x, w, eps: float = 1e-6):
     return (x * w).reshape(B, -1).sum(axis=1) / wsum
 
 
+# Sampling primitive used by the loss stack. `grid_sample` and
+# `grid_sample_segsum` are the same function with different backward
+# lowerings (ops/geometry.py); the choice here is a measured decision on
+# the FULL train step (PERF.md), not a microbenchmark.
+_GRID_SAMPLE = geometry.grid_sample
+
+
 def _sample_chw(data, uv):
     """Sample (H, W, C) maps at pixel coords (H, W, 2), batched over leading
     dims via vmap (border clamped)."""
-    return jax.vmap(geometry.grid_sample)(data, uv)
+    return jax.vmap(_GRID_SAMPLE)(data, uv)
 
 
 def _points_and_pixels(depths, intrinsics, warp):

@@ -145,3 +145,28 @@ def test_torch_port_roundtrip(tmp_path):
     np.testing.assert_allclose(
         params["output_conv1"]["kernel"][..., 0], np.transpose(w, (2, 3, 1, 0))[..., 0]
     )
+
+
+def test_grouped_conv_lowerings_equivalent():
+    """All GroupedConv3x3 lowerings (grouped / block_dense / im2col) are the
+    same function over the SAME checkpoint params — the lowering is an
+    apply-time choice, invisible to torch ports."""
+    import jax
+
+    from robust_cvd_tpu.models.midas import GroupedConv3x3
+
+    rng = jax.random.PRNGKey(0)
+    for stride in (1, 2):
+        for C, F, G in ((32, 32, 8), (64, 128, 16)):
+            x = jax.random.normal(rng, (2, 12, 16, C), jnp.float32)
+            base = GroupedConv3x3(F, G, stride=stride, dtype=jnp.float32)
+            v = base.init(rng, x)
+            assert v["params"]["kernel"].shape == (3, 3, C // G, F)
+            ref = np.asarray(base.apply(v, x))
+            for impl in ("block_dense", "im2col"):
+                m = GroupedConv3x3(
+                    F, G, stride=stride, dtype=jnp.float32, impl=impl
+                )
+                out = np.asarray(m.apply(v, x))
+                assert out.shape == ref.shape
+                np.testing.assert_allclose(out, ref, atol=3e-5)

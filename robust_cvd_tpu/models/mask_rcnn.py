@@ -500,7 +500,14 @@ class MaskRCNN(nn.Module):
 
 def paste_masks(masks, boxes, hw: Tuple[int, int], threshold: float = 0.5):
     """(D, 28, 28) masks + (D, 4) boxes -> (D, H, W) bool, vectorized over
-    the full image grid (no per-box dynamic crops)."""
+    the full image grid (no per-box dynamic crops).
+
+    Zero-padded bilinear is SEPARABLE: value(x, y) = sum_k sum_l
+    hat(my-k) hat(mx-l) m[k,l] with hat(t) = max(0, 1-|t|), so the paste
+    is two per-detection matmuls (D,H,28)@(D,28,28)@(D,28,W) on the MXU
+    instead of 4 gathered taps per output pixel — measured 5020 ms -> the
+    gather formulation was 96% of the whole Mask R-CNN frame at 800x1344
+    (PERF.md)."""
     h, w = hw
     d, ms, _ = masks.shape
     x = jnp.arange(w, dtype=jnp.float32) + 0.5
@@ -512,12 +519,12 @@ def paste_masks(masks, boxes, hw: Tuple[int, int], threshold: float = 0.5):
     mx = (x[None, :] - x0[:, None]) / bw[:, None] * ms - 0.5  # (D, W)
     my = (y[None, :] - y0[:, None]) / bh[:, None] * ms - 0.5  # (D, H)
 
-    def one(mask, mxr, myr):
-        xx = jnp.broadcast_to(mxr[None, :], (h, w))
-        yy = jnp.broadcast_to(myr[:, None], (h, w))
-        return _bilinear_sample(mask[..., None], xx, yy)[..., 0]
-
-    vals = jax.vmap(one)(masks, mx, my)
+    k = jnp.arange(ms, dtype=jnp.float32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(my[..., None] - k))  # (D, H, ms)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(mx[..., None] - k))  # (D, W, ms)
+    vals = jnp.einsum(
+        "dhk,dkl,dwl->dhw", wy, masks, wx, precision=jax.lax.Precision.HIGHEST
+    )
     inside = (
         (x[None, None, :] >= x0[:, None, None])
         & (x[None, None, :] <= x1[:, None, None])

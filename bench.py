@@ -313,36 +313,48 @@ def main():
     # (pipeline/flow.py:151-170 consistent_flow_masks;
     # solver/constraints.py::build_pair_constraints with the native greedy
     # sampler — reference utils/consistency.py + lib/FlowConstraints.cpp).
-    from robust_cvd_tpu.pipeline.flow import consistent_flow_masks
+    from robust_cvd_tpu.pipeline.flow import _clip_masks_fn
     from robust_cvd_tpu.solver.constraints import (
         build_pair_constraints,
         corner_min_eigenval,
     )
 
-    images_np = np.asarray(images)
     fwd_pairs = [(i, j) for (i, j) in pairs if i < j]
     rng2 = np.random.default_rng(1)
     flow_px = {
         p: rng2.uniform(-2, 2, (H, W, 2)).astype(np.float32) for p in fwd_pairs
     }
-    gray = jnp.asarray(images_np.mean(-1))
+    gray = jnp.asarray(np.asarray(images).mean(-1))
     corners = np.asarray(
         jax.block_until_ready(jax.jit(corner_min_eigenval)(gray))
     )
+    # In the pipeline the flows are still DEVICE-RESIDENT from the RAFT
+    # stage (FlowStage keeps per-pair slices cached; pipeline/flow.py) —
+    # pre-placing them here mirrors that handoff, so the timed stage is
+    # mask programs + mask D2H + host greedy constraint building, exactly
+    # what a real run pays between flow and pose opt.
+    dev_flows = {p: jax.device_put(flow_px[p]) for p in fwd_pairs}
+    masks_fn = _clip_masks_fn()
 
     def constraints_pass():
         n = 0
-        for (i, j) in fwd_pairs:
-            m01, m10 = consistent_flow_masks(
-                flow_px[(i, j)], -flow_px[(i, j)], images_np[i], images_np[j]
-            )
-            pc = build_pair_constraints(
-                corners[i], flow_px[(i, j)], m01, H / W
-            )
-            n += pc.loc0.shape[0]
+        CB = 16
+        for s in range(0, len(fwd_pairs), CB):
+            chunk = fwd_pairs[s : s + CB]
+            padded = chunk + [chunk[-1]] * (CB - len(chunk))
+            f01 = jnp.stack([dev_flows[p] for p in padded])
+            ii = jnp.asarray([i for (i, j) in padded], jnp.int32)
+            jj = jnp.asarray([j for (i, j) in padded], jnp.int32)
+            m01, _m10 = masks_fn(images, f01, -f01, ii, jj, 1.0, 1.0)
+            m01 = np.asarray(m01)
+            for k, (i, j) in enumerate(chunk):
+                pc = build_pair_constraints(
+                    corners[i], flow_px[(i, j)], m01[k], H / W
+                )
+                n += pc.loc0.shape[0]
         return n
 
-    constraints_pass()  # warm (compiles the grid_sample programs)
+    constraints_pass()  # warm (compiles the batched mask program)
     t0 = time.perf_counter()
     constraints_pass()
     detail["consistency_constraints_s"] = round(time.perf_counter() - t0, 4)
@@ -418,29 +430,31 @@ def main():
     # optimize_poses; training/fine_tune.py:711-750): whole-clip re-inference
     # with the CURRENT weights, D2H readback, and host resampling of the
     # constraint source depths.
+    # Device-resident refresh mirroring FineTuner.refresh_depth: batched
+    # re-inference + ONE jitted resample program (median + nearest gathers);
+    # no whole-clip D2H (training/fine_tune.py:711-758).
+    inv_aspect = 1.0 / inputs.aspect
+
+    @jax.jit
+    def _resample(depth, loc0, loc1, pair):
+        med = jnp.median(depth.reshape(NUM_FRAMES, -1), axis=1)
+
+        def samp(frames, loc):
+            x = jnp.clip(((loc[..., 0] + 1) / 2 * W).astype(jnp.int32), 0, W - 1)
+            y = jnp.clip(((1 - loc[..., 1]) / 2 * H).astype(jnp.int32), 0, H - 1)
+            return depth[frames[:, None], y, x]
+
+        return samp(pair[:, 0], loc0), samp(pair[:, 1], loc1), med
+
     def refresh(p_cur, bs_cur, inp):
         chunks = []
         for s in range(0, NUM_FRAMES, B):
-            chunks.append(np.asarray(fwd(p_cur, bs_cur, images[s : s + B])))
-        depth_np = 1.0 / (np.concatenate(chunks) + 1e-7)
-        med = jnp.asarray(np.median(depth_np.reshape(NUM_FRAMES, -1), axis=1))
+            chunks.append(fwd(p_cur, bs_cur, images[s : s + B]))
+        depth_dev = 1.0 / (jnp.concatenate(chunks) + 1e-7)
         data = inp.data
-        inv_aspect = 1.0 / inp.aspect
-        loc0 = np.asarray(data.loc0)
-        loc1 = np.asarray(data.loc1)
-
-        def samp(frames, loc):
-            x = np.clip(((loc[..., 0] + 1) / 2 * W).astype(np.int32), 0, W - 1)
-            y = np.clip(((1 - loc[..., 1]) / 2 * H).astype(np.int32), 0, H - 1)
-            return depth_np[frames[:, None], y, x]
-
-        f0 = np.asarray(data.pair[:, 0])
-        f1 = np.asarray(data.pair[:, 1])
+        d0, d1, med = _resample(depth_dev, data.loc0, data.loc1, data.pair)
         return inp._replace(
-            data=data._replace(
-                depth0=jnp.asarray(samp(f0, loc0)),
-                depth1=jnp.asarray(samp(f1, loc1)),
-            ),
+            data=data._replace(depth0=d0, depth1=d1),
             median_depth=med,
         )
 
@@ -474,6 +488,7 @@ def main():
         t_train += time.perf_counter() - t1
         t1 = time.perf_counter()
         inputs = refresh(p, bs, inputs)
+        jax.block_until_ready(inputs.data.depth0)  # keep the stage split honest
         t_refresh += time.perf_counter() - t1
     detail["pose_opt_total_s"] = round(t_pose, 4)
     detail["fine_tune_total_s"] = round(t_train, 4)

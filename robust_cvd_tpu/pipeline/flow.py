@@ -31,31 +31,31 @@ def resize_flow(flow: np.ndarray, out_hw) -> np.ndarray:
 
     H, W = flow.shape[:2]
     oh, ow = out_hw
+    if (H, W) == (oh, ow):  # avoid a per-pair device round-trip
+        return np.asarray(flow, np.float32)
     out = np.array(resize_bilinear(jnp.asarray(flow), (oh, ow), align_corners=False))
     out[..., 0] *= ow / W
     out[..., 1] *= oh / H
     return out
 
 
-def consistency_mask(im_ref, im_tgt, flow, threshold) -> np.ndarray:
-    """(reference utils/consistency.py:32-50). All (H, W, C)/(H, W, 2)."""
+def _cmask_traced(im_ref, im_tgt, flow, threshold):
+    """Pure-JAX consistency mask (reference utils/consistency.py:32-50).
+    All (H, W, C)/(H, W, 2); traced, composable under vmap/jit."""
     import jax.numpy as jnp
 
     from ..ops.geometry import grid_sample, pixel_grid
 
     H, W = im_ref.shape[:2]
-    pix = np.asarray(pixel_grid((H, W)))
-    target = pix + flow
+    target = pixel_grid((H, W)) + flow
     inb = (
         (target[..., 0] >= 0)
         & (target[..., 0] <= W - 1)
         & (target[..., 1] >= 0)
         & (target[..., 1] <= H - 1)
     )
-    warped = np.asarray(
-        grid_sample(jnp.asarray(im_ref_shape3(im_tgt)), jnp.asarray(target))
-    )
-    diff = np.sum((im_ref_shape3(im_ref) - warped) ** 2, axis=-1)
+    warped = grid_sample(im_ref_shape3(im_tgt), target)
+    diff = jnp.sum((im_ref_shape3(im_ref) - warped) ** 2, axis=-1)
     return inb & (diff < threshold)
 
 
@@ -63,18 +63,145 @@ def im_ref_shape3(x):
     return x[..., None] if x.ndim == 2 else x
 
 
-def consistent_flow_masks(flow01, flow10, color0, color1,
-                          flow_thresh=1.0, color_thresh=1.0):
-    """Forward-backward + photometric consistency (reference
-    utils/consistency.py:53-67, thresholds (1,1) per flow.py:180-209)."""
+def _pair_masks_traced(flow01, flow10, color0, color1, flow_thresh, color_thresh):
     C = color0.shape[-1]
-    m01 = consistency_mask(flow01, -flow10, flow01, flow_thresh**2) & consistency_mask(
+    m01 = _cmask_traced(flow01, -flow10, flow01, flow_thresh**2) & _cmask_traced(
         color0, color1, flow01, C * color_thresh**2
     )
-    m10 = consistency_mask(flow10, -flow01, flow10, flow_thresh**2) & consistency_mask(
+    m10 = _cmask_traced(flow10, -flow01, flow10, flow_thresh**2) & _cmask_traced(
         color1, color0, flow10, C * color_thresh**2
     )
     return m01, m10
+
+
+_BATCHED_MASKS = None
+_CMASK_JIT = None
+_CLIP_MASKS = None
+_POSTPROC = None
+
+
+def _clip_masks_fn():
+    """Masks from DEVICE-RESIDENT whole-clip colors + chunk flows: colors
+    are gathered by frame index inside the program, so nothing but the
+    (tiny) index vectors crosses the host boundary. The tunnel's H2D path
+    measures ~22 MB/s — re-uploading colors/flows per chunk costs seconds;
+    this is the path the flow stage uses when flows are still resident
+    from RAFT."""
+    global _CLIP_MASKS
+    if _CLIP_MASKS is None:
+        import functools
+
+        import jax
+
+        @functools.partial(jax.jit, static_argnums=(5, 6))
+        def f(colors, f01, f10, ii, jj, flow_thresh, color_thresh):
+            c0 = colors[ii]
+            c1 = colors[jj]
+            return jax.vmap(
+                _pair_masks_traced, in_axes=(0, 0, 0, 0, None, None)
+            )(f01, f10, c0, c1, flow_thresh, color_thresh)
+
+        _CLIP_MASKS = f
+    return _CLIP_MASKS
+
+
+def _postproc_fn():
+    """Flow post-processing as ONE device program per chunk: un-warp the
+    registered flow through H^-1 (reference optical_flow_homography.py:
+    204-227) and resize to the color_down resolution with vector rescale —
+    the former host path did this per pair (numpy inverse+matmul plus an
+    eager device resize dispatch per pair)."""
+    global _POSTPROC
+    if _POSTPROC is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.layers import resize_bilinear
+        from ..ops.geometry import pixel_grid
+
+        @functools.partial(jax.jit, static_argnums=(2, 3))
+        def post(flows, Hs, out_hw, use_h):
+            B, h, w = flows.shape[:3]
+            oh, ow = out_hw
+            if use_h:
+                pix = pixel_grid((h, w))
+                matched = pix[None] + flows
+                Hinv = jnp.linalg.inv(Hs)
+                ones = jnp.ones(matched.shape[:-1] + (1,), matched.dtype)
+                p = jnp.einsum(
+                    "bij,bhwj->bhwi", Hinv,
+                    jnp.concatenate([matched, ones], -1),
+                )
+                flows = p[..., :2] / p[..., 2:3] - pix[None]
+            if (h, w) != (oh, ow):
+                flows = jax.vmap(
+                    lambda f: resize_bilinear(f, (oh, ow), align_corners=False)
+                )(flows)
+                flows = flows * jnp.asarray([ow / w, oh / h], flows.dtype)
+            return flows
+
+        _POSTPROC = post
+    return _POSTPROC
+
+
+def _batched_masks_fn():
+    """One jitted program: (B,H,W,2)x2 flows + (B,H,W,3)x2 colors -> bool
+    masks (B,H,W)x2. The per-pair eager path costs ~1 s/pair on the TPU
+    tunnel (op-by-op dispatch); this is the whole chunk in one dispatch."""
+    global _BATCHED_MASKS
+    if _BATCHED_MASKS is None:
+        import functools
+
+        import jax
+
+        _BATCHED_MASKS = jax.jit(
+            jax.vmap(_pair_masks_traced, in_axes=(0, 0, 0, 0, None, None)),
+            static_argnums=(4, 5),
+        )
+    return _BATCHED_MASKS
+
+
+def consistency_mask(im_ref, im_tgt, flow, threshold) -> np.ndarray:
+    """(reference utils/consistency.py:32-50). All (H, W, C)/(H, W, 2)."""
+    import jax
+
+    global _CMASK_JIT
+    if _CMASK_JIT is None:
+        _CMASK_JIT = jax.jit(_cmask_traced, static_argnums=(3,))
+    return np.asarray(_CMASK_JIT(im_ref, im_tgt, flow, float(threshold)))
+
+
+def consistent_flow_masks(flow01, flow10, color0, color1,
+                          flow_thresh=1.0, color_thresh=1.0):
+    """Forward-backward + photometric consistency for ONE pair (reference
+    utils/consistency.py:53-67, thresholds (1,1) per flow.py:180-209).
+    Convenience wrapper over the batched program."""
+    import jax.numpy as jnp
+
+    m01, m10 = consistent_flow_masks_batched(
+        jnp.asarray(flow01)[None], jnp.asarray(flow10)[None],
+        jnp.asarray(color0)[None], jnp.asarray(color1)[None],
+        flow_thresh, color_thresh,
+    )
+    return m01[0], m10[0]
+
+
+def consistent_flow_masks_batched(flows01, flows10, colors0, colors1,
+                                  flow_thresh=1.0, color_thresh=1.0):
+    """Batched consistency masks: one jitted TPU dispatch per chunk of pairs,
+    one device->host readback per call. flows (B,H,W,2), colors (B,H,W,C);
+    returns two (B,H,W) bool numpy arrays."""
+    import jax.numpy as jnp
+
+    m01, m10 = _batched_masks_fn()(
+        jnp.asarray(flows01), jnp.asarray(flows10),
+        jnp.asarray(colors0), jnp.asarray(colors1),
+        float(flow_thresh), float(color_thresh),
+    )
+    out = np.asarray(jnp.stack([m01, m10]))
+    return out[0], out[1]
 
 
 class FlowStage:
@@ -87,6 +214,9 @@ class FlowStage:
         self.variables = raft_variables
         self.batch_size = batch_size
         self.homography = homography
+        # flows kept device-resident between compute_flow and the mask
+        # stage (the tunnel's ~22 MB/s H2D makes re-uploads the bottleneck)
+        self._dev_flows = {}
 
     def sample_index_pairs(self, flow_ops, num_frames) -> List[Tuple[int, int]]:
         return sample_pairs(num_frames, flow_ops, two_way=True)
@@ -133,25 +263,34 @@ class FlowStage:
             # homography pre-registration (reference
             # optical_flow_homography.py:139-173): RAFT sees frame2 warped
             # into frame1's frame; flow is un-warped through H^-1 after.
-            # One fused TPU program registers the whole chunk.
-            Hs = [np.eye(3, dtype=np.float32)] * B
+            # Registration, RAFT, unwarp, and the resize to color_down all
+            # stay on device; ONE chunk D2H feeds the disk writes and the
+            # per-pair device slices stay cached for the mask stage.
+            im1_d = jnp.asarray(im1, jnp.float32)
             if self.homography:
-                Hs_b, reg = hg.register_pairs(im1, im2)
-                Hs = np.asarray(Hs_b)
-                im2 = np.asarray(reg)
-            flows = np.asarray(
-                run(jnp.asarray(im1 * 255.0), jnp.asarray(im2 * 255.0))
+                Hs_d, im2_d = hg.register_pairs(im1_d, im2)
+            else:
+                Hs_d = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
+                im2_d = jnp.asarray(im2, jnp.float32)
+            flows_reg = run(im1_d * 255.0, im2_d * 255.0)
+            flows_down = _postproc_fn()(
+                flows_reg, Hs_d, (dh, dw), self.homography
             )
+            flows_host = np.asarray(flows_down)
             for k, (i, j) in enumerate(chunk):
-                flow = flows[k]
-                if self.homography:
-                    flow = hg.unwarp_flow(flow, Hs[k])
-                self.store.save_flow(i, j, resize_flow(flow, (dh, dw)))
+                self.store.save_flow(i, j, flows_host[k])
+                self._dev_flows[(i, j)] = flows_down[k]
 
     def compute_flow_masks(self, index_pairs, flow_thresh=1.0, color_thresh=1.0):
-        """(reference flow.py:180-209)."""
+        """(reference flow.py:180-209). Chunks of pairs go through ONE jitted
+        TPU program each (the eager per-pair path costs ~1 s/pair in
+        dispatch overhead on the tunnel); the tail chunk is padded to keep a
+        single compiled shape."""
+        import jax
+        import jax.numpy as jnp
+
         down = self.store.load_color_down()
-        done = set()
+        missing, done = [], set()
         for (i, j) in index_pairs:
             key = (min(i, j), max(i, j))
             if key in done:
@@ -159,15 +298,37 @@ class FlowStage:
             done.add(key)
             a, b = key
             mask_path = pjoin(self.store.base_dir, "flow_mask", f"mask_{a:06d}_{b:06d}.png")
-            if os.path.exists(mask_path):
-                continue
-            fab = self.store.load_flow(a, b)
-            fba = self.store.load_flow(b, a)
-            mab, mba = consistent_flow_masks(
-                fab, fba, down[a], down[b], flow_thresh, color_thresh
+            if not os.path.exists(mask_path):
+                missing.append(key)
+        if not missing:
+            return
+        colors_dev = jnp.asarray(down)
+        # Flows computed this run are still device-resident; resume-case
+        # flows are read from disk, with every upload issued up front so
+        # the slow tunnel H2D (~22 MB/s) pipelines behind the mask programs.
+        for key in missing:
+            for d in (key, key[::-1]):
+                if d not in self._dev_flows:
+                    self._dev_flows[d] = jax.device_put(
+                        self.store.load_flow(*d)
+                    )
+        B = self.batch_size
+        masks_fn = _clip_masks_fn()
+        for s in range(0, len(missing), B):
+            chunk = missing[s : s + B]
+            padded = chunk + [chunk[-1]] * (B - len(chunk))
+            f01 = jnp.stack([self._dev_flows[(a, b)] for (a, b) in padded])
+            f10 = jnp.stack([self._dev_flows[(b, a)] for (a, b) in padded])
+            ii = jnp.asarray([a for (a, b) in padded], jnp.int32)
+            jj = jnp.asarray([b for (a, b) in padded], jnp.int32)
+            m01, m10 = masks_fn(
+                colors_dev, f01, f10, ii, jj,
+                float(flow_thresh), float(color_thresh),
             )
-            self.store.save_flow_mask(a, b, mab)
-            self.store.save_flow_mask(b, a, mba)
+            both = np.asarray(jnp.stack([m01, m10]))
+            for k, (a, b) in enumerate(chunk):
+                self.store.save_flow_mask(a, b, both[0, k])
+                self.store.save_flow_mask(b, a, both[1, k])
 
     def visualize_flow(self, index_pairs, warp: bool = True):
         """Write vis_flow/frame_%06d_%06d.png (colors + flow wheel, original

@@ -714,37 +714,46 @@ class FineTuner:
         the depth stream and the C++ side reloads it)."""
         depth = self.infer_depth()
 
-        # update median depths for the scale regularizer
-        med = jnp.asarray(
-            np.median(np.asarray(depth).reshape(depth.shape[0], -1), axis=1)
-        )
+        # One jitted device program: per-frame median (scale regularizer)
+        # + nearest resampling of constraint source depths. The former host
+        # path pulled the whole clip to the host every epoch (34 MB D2H on
+        # the tunnel + numpy median + gathers: ~4.6 s/epoch); this keeps
+        # everything resident and dispatches once.
+        if getattr(self, "_refresh_fn", None) is None:
+            inv_aspect = 1.0 / self.pose_inputs.aspect
+
+            @jax.jit
+            def _resample(depth, loc0, loc1, pair):
+                N, h, w = depth.shape
+                med = jnp.median(depth.reshape(N, -1), axis=1)
+
+                # NDC -> normalized [0,1] x [0,inv_aspect]
+                def to_norm(loc):
+                    return jnp.stack(
+                        [(loc[..., 0] + 1) / 2,
+                         (1 - loc[..., 1]) / 2 * inv_aspect], -1
+                    )
+
+                def samp(frames, locs):
+                    x = jnp.clip((locs[..., 0] * w).astype(jnp.int32), 0, w - 1)
+                    y = jnp.clip(
+                        (locs[..., 1] / inv_aspect * h).astype(jnp.int32),
+                        0, h - 1,
+                    )
+                    return depth[frames[:, None], y, x]
+
+                return (
+                    samp(pair[:, 0], to_norm(loc0)),
+                    samp(pair[:, 1], to_norm(loc1)),
+                    med,
+                )
+
+            self._refresh_fn = _resample
+
         data = self.pose_inputs.data
-        inv_aspect = 1.0 / self.pose_inputs.aspect
-        # resample source depths at constraint locations (host, cheap)
-        depth_np = np.asarray(depth)
-        loc0 = np.asarray(data.loc0)  # (P, C, 2) NDC
-        loc1 = np.asarray(data.loc1)
-
-        # NDC -> normalized [0,1] x [0,inv_aspect]
-        def to_norm(loc):
-            return np.stack(
-                [(loc[..., 0] + 1) / 2, (1 - loc[..., 1]) / 2 * inv_aspect], -1
-            )
-
-        f0 = np.asarray(data.pair[:, 0])
-        f1 = np.asarray(data.pair[:, 1])
-        h, w = depth_np.shape[1:]
-
-        def samp(frames, locs):
-            x = np.clip((locs[..., 0] * w).astype(np.int32), 0, w - 1)
-            y = np.clip((locs[..., 1] / inv_aspect * h).astype(np.int32), 0, h - 1)
-            return depth_np[frames[:, None], y, x]
-
+        d0, d1, med = self._refresh_fn(depth, data.loc0, data.loc1, data.pair)
         self.pose_inputs = self.pose_inputs._replace(
-            data=data._replace(
-                depth0=jnp.asarray(samp(f0, to_norm(loc0))),
-                depth1=jnp.asarray(samp(f1, to_norm(loc1))),
-            ),
+            data=data._replace(depth0=d0, depth1=d1),
             median_depth=med,
         )
         self.current_depth = depth

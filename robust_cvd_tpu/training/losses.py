@@ -101,11 +101,16 @@ def weighted_mean(x, w, eps: float = 1e-6):
     return (x * w).reshape(B, -1).sum(axis=1) / wsum
 
 
-# Sampling primitive used by the loss stack. `grid_sample` and
-# `grid_sample_segsum` are the same function with different backward
-# lowerings (ops/geometry.py); the choice here is a measured decision on
-# the FULL train step (PERF.md), not a microbenchmark.
-_GRID_SAMPLE = geometry.grid_sample
+# Sampling primitive used by the loss stack. `grid_sample`,
+# `grid_sample_segsum`, and `grid_sample_matmul` are the same function with
+# different backward lowerings (ops/geometry.py); the choice here is a
+# measured decision on the FULL train step (PERF.md), not a microbenchmark:
+# the separable-matmul data-gradient (scatter-add rewritten as one MXU
+# contraction over 2-hot hat-weight factors) measures 70.1 vs 88.2 ms/step
+# against XLA's native scatter at 224x384 batch 2, with the loss
+# trajectory identical to 6 decimals over 41 steps (bf16 tap rounding,
+# f32 accumulation). segsum (argsort-based) lost: 233.9 ms/step.
+_GRID_SAMPLE = geometry.grid_sample_matmul
 
 
 def _sample_chw(data, uv):

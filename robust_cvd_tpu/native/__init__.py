@@ -35,6 +35,19 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, u8p,
         ]
         lib.stamp_disks.argtypes = list(lib.greedy_sample.argtypes)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.build_pair_candidates.argtypes = [
+            f32p, f32p, u8p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i32p, f32p, ctypes.c_int64,
+        ]
+        lib.build_pair_candidates.restype = ctypes.c_int64
+        lib.build_triplet_candidates.argtypes = [
+            f32p, f32p, u8p, f32p, u8p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i32p, f32p, f32p, ctypes.c_int64,
+        ]
+        lib.build_triplet_candidates.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _build_failed = True
@@ -103,6 +116,66 @@ def stamp_disks(xs: np.ndarray, ys: np.ndarray, w: int, h: int, radius: int) -> 
             x0 - (x - radius) : x1 - (x - radius),
         ].astype(np.uint8)
     return out.astype(bool)
+
+
+def _as_f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _sample_cap(w: int, h: int, radius: int) -> int:
+    """Generous upper bound on how many disk-separated samples fit."""
+    r = max(int(radius), 1)
+    return 4 * (w // r + 2) * (h // r + 2)
+
+
+def build_pair_candidates(corner, flow, mask, radius: int):
+    """Fused mask/bounds filter + stable corner sort + greedy disk
+    suppression for one flow pair (reference lib/FlowConstraints.cpp:401-465)
+    in ONE native call. Returns (xy int32 (C, 2), flow-target f32 (C, 2)),
+    or None when the native library is unavailable (caller falls back to
+    the numpy path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    h, w = corner.shape
+    corner = np.ascontiguousarray(corner, np.float32)
+    flow = np.ascontiguousarray(flow, np.float32)
+    mask = np.ascontiguousarray(mask.astype(np.uint8))
+    cap = _sample_cap(w, h, radius)
+    out_xy = np.empty((cap, 2), np.int32)
+    out_f = np.empty((cap, 2), np.float32)
+    n = lib.build_pair_candidates(
+        _as_f32p(corner), _as_f32p(flow), _as_u8p(mask),
+        w, h, radius, _as_i32p(out_xy), _as_f32p(out_f), cap,
+    )
+    return out_xy[:n], out_f[:n]
+
+
+def build_triplet_candidates(corner, flow10, mask10, flow12, mask12,
+                             radius: int):
+    """Triplet variant of build_pair_candidates (reference
+    lib/FlowConstraints.cpp:467-550). Returns (xy (C, 2) int32,
+    backward targets (C, 2) f32, forward targets (C, 2) f32) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    h, w = corner.shape
+    corner = np.ascontiguousarray(corner, np.float32)
+    flow10 = np.ascontiguousarray(flow10, np.float32)
+    flow12 = np.ascontiguousarray(flow12, np.float32)
+    mask10 = np.ascontiguousarray(mask10.astype(np.uint8))
+    mask12 = np.ascontiguousarray(mask12.astype(np.uint8))
+    cap = _sample_cap(w, h, radius)
+    out_xy = np.empty((cap, 2), np.int32)
+    out_f0 = np.empty((cap, 2), np.float32)
+    out_f2 = np.empty((cap, 2), np.float32)
+    n = lib.build_triplet_candidates(
+        _as_f32p(corner), _as_f32p(flow10), _as_u8p(mask10),
+        _as_f32p(flow12), _as_u8p(mask12),
+        w, h, radius, _as_i32p(out_xy), _as_f32p(out_f0), _as_f32p(out_f2),
+        cap,
+    )
+    return out_xy[:n], out_f0[:n], out_f2[:n]
 
 
 # -- batched raw IO engine (io_engine.cpp) -----------------------------------

@@ -259,6 +259,30 @@ def _dlt_weighted(ptsA: jnp.ndarray, ptsB: jnp.ndarray, w: jnp.ndarray):
     return H / jnp.where(jnp.abs(scale) > 1e-12, scale, 1.0)
 
 
+def _dlt4(ptsA: jnp.ndarray, ptsB: jnp.ndarray) -> jnp.ndarray:
+    """Exact 4-point homography via an 8x8 linear solve with h33 = 1
+    (Hartley-normalized for f32 conditioning). 6x cheaper than the 9x9
+    eigendecomposition — for RANSAC *hypotheses* the h33=0 degeneracy is
+    irrelevant: a near-singular system yields a garbage H that simply
+    scores zero inliers. ptsA/ptsB (..., 4, 2) -> H (..., 3, 3) A -> B."""
+    w = jnp.ones(ptsA.shape[:-1], ptsA.dtype)
+    pa, Ta = _norm_pts(ptsA, w)
+    pb, Tb = _norm_pts(ptsB, w)
+    x, y = pa[..., 0], pa[..., 1]
+    u, v = pb[..., 0], pb[..., 1]
+    zeros = jnp.zeros_like(x)
+    ones = jnp.ones_like(x)
+    r1 = jnp.stack([x, y, ones, zeros, zeros, zeros, -u * x, -u * y, -u], -1)
+    r2 = jnp.stack([zeros, zeros, zeros, x, y, ones, -v * x, -v * y, -v], -1)
+    A = jnp.concatenate([r1, r2], axis=-2)  # (..., 8, 9)
+    h8 = jnp.linalg.solve(A[..., :8], -A[..., 8:9])[..., 0]  # A8 h8 = -a9
+    h = jnp.concatenate([h8, jnp.ones(h8.shape[:-1] + (1,), h8.dtype)], -1)
+    Hn = h.reshape(h.shape[:-1] + (3, 3))
+    H = jnp.linalg.solve(Tb, Hn @ Ta)
+    scale = H[..., 2:3, 2:3]
+    return H / jnp.where(jnp.abs(scale) > 1e-12, scale, 1.0)
+
+
 def _apply_h_j(H: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     ones = jnp.ones(pts.shape[:-1] + (1,), pts.dtype)
     ph = jnp.concatenate([pts, ones], axis=-1)
@@ -285,8 +309,16 @@ def _register_batch(im1: jnp.ndarray, im2: jnp.ndarray, sel: jnp.ndarray,
     d1 = _patch_descriptors_b(g1, x1, y1)
     d2 = _patch_descriptors_b(g2, x2, y2)
 
-    # Lowe-ratio matching B (frame2) -> A (frame1): one MXU matmul
-    sim = jnp.einsum("bkd,bld->bkl", d2, d1, precision=_HI)  # (B, K2, K1)
+    # Lowe-ratio matching B (frame2) -> A (frame1): one MXU matmul.
+    # bf16 inputs / f32 accumulation: descriptors are unit-norm so the
+    # ~3e-3 rounding only perturbs matches already sitting on the Lowe
+    # ratio boundary — noise RANSAC absorbs; f32 here is 6x MXU cost.
+    sim = jnp.einsum(
+        "bkd,bld->bkl",
+        d2.astype(jnp.bfloat16),
+        d1.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # (B, K2, K1)
     sim = jnp.where(v1[:, None, :], sim, -jnp.inf)
     top2, idx2 = jax.lax.top_k(sim, 2)
     best = idx2[..., 0]  # (B, K)
@@ -305,7 +337,7 @@ def _register_batch(im1: jnp.ndarray, im2: jnp.ndarray, sel: jnp.ndarray,
     selB = ptsB[:, sel]
     selw = w[:, sel]  # (B, S, 4)
     hyp_ok = jnp.all(selw > 0, axis=-1)  # (B, S)
-    Hs = _dlt_weighted(selA, selB, jnp.ones_like(selw))  # (B, S, 3, 3)
+    Hs = _dlt4(selA, selB)  # (B, S, 3, 3)
     proj = _apply_h_j(Hs, ptsA[:, None])  # (B, S, K, 2)
     err = jnp.linalg.norm(proj - ptsB[:, None], axis=-1)
     inl = (err < _RANSAC_THRESH) & (w[:, None] > 0)  # (B, S, K)

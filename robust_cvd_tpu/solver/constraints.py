@@ -112,6 +112,7 @@ def build_pair_constraints(
     mask: np.ndarray,
     inv_aspect: float,
     match_separation: int = 10,
+    use_native: bool = True,
 ) -> PairConstraints:
     """One pair's constraints (reference lib/FlowConstraints.cpp:401-465).
 
@@ -119,6 +120,19 @@ def build_pair_constraints(
     pixels; mask: (H, W) bool flow-consistency mask.
     """
     h, w = corner.shape
+    fused = (
+        native.build_pair_candidates(corner, flow, mask, match_separation)
+        if use_native
+        else None
+    )
+    if fused is not None:
+        xy, f1 = fused
+        scale = np.array([1.0 / w, inv_aspect / h], np.float32)
+        return PairConstraints(
+            loc0=xy.astype(np.float32) * scale,
+            loc1=f1 * scale,
+            is_static=np.ones(len(xy), bool),
+        )
     ys, xs = np.nonzero(mask)
     fx1 = xs + flow[ys, xs, 0]
     fy1 = ys + flow[ys, xs, 1]
@@ -149,6 +163,7 @@ def build_triplet_constraints(
     mask12: np.ndarray,
     inv_aspect: float,
     match_separation: int = 10,
+    use_native: bool = True,
 ) -> TripletConstraints:
     """One triplet's constraints, chained backward + forward from the center
     frame (reference lib/FlowConstraints.cpp:467-550).
@@ -158,6 +173,22 @@ def build_triplet_constraints(
     apparent indexing slip; we use the center pixel itself, which is what
     the greedy suppression keys on anyway."""
     h, w = corner.shape
+    fused = (
+        native.build_triplet_candidates(
+            corner, flow10, mask10, flow12, mask12, match_separation
+        )
+        if use_native
+        else None
+    )
+    if fused is not None:
+        xy, f0, f2 = fused
+        scale = np.array([1.0 / w, inv_aspect / h], np.float32)
+        loc = np.stack(
+            [f0, xy.astype(np.float32), f2], axis=1
+        ) * scale
+        return TripletConstraints(
+            loc=loc.astype(np.float32), is_static=np.ones(len(xy), bool)
+        )
     ys, xs = np.nonzero(mask10 & mask12)
     fx0 = xs + flow10[ys, xs, 0]
     fy0 = ys + flow10[ys, xs, 1]

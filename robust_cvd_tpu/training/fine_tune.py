@@ -17,6 +17,7 @@ Re-design of reference depth_fine_tuning.py:207-860 for TPU:
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
@@ -66,7 +67,21 @@ def pose_state_from_solver(
     source_depth: Optional[jnp.ndarray] = None,
 ) -> PoseState:
     """SolverParams -> per-frame training metadata
-    (reference loaders/video_dataset.py:153-217 update_poses)."""
+    (reference loaders/video_dataset.py:153-217 update_poses).
+
+    Jitted: this runs once per epoch after every pose opt; eager it is
+    ~30 op-by-op dispatches (~6 ms each on the tunnel)."""
+    if source_depth is None:
+        N = params.pose.shape[0]
+        source_depth = jnp.ones((N,) + tuple(shape), jnp.float32)
+    return _pose_state_jit(params, tuple(shape), float(aspect), source_depth)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _pose_state_jit(
+    params: SolverParams, shape: Tuple[int, int], aspect,
+    source_depth: jnp.ndarray,
+) -> PoseState:
     N = params.pose.shape[0]
     cam = pose_params_to_camera(params.pose, params.focal, aspect)
     R = jax.vmap(quat_to_matrix)(cam.quaternion)
@@ -75,10 +90,10 @@ def pose_state_from_solver(
 
     gz, gy, gx = params.depth_grid.shape[1:]
     dspec = GridSpec(gx=gx, gy=gy, gz=gz)
+    del N
     scales = jax.vmap(
         lambda g, d: xforms.depth_param_map(g, dspec, shape, d)
-    )(params.depth_grid, source_depth if source_depth is not None
-      else jnp.ones((N,) + tuple(shape), jnp.float32))
+    )(params.depth_grid, source_depth)
 
     sy, sx = params.spatial_grid.shape[1:3]
     warp = jax.vmap(

@@ -108,3 +108,52 @@ def test_prune_static_flag():
     C.prune_static_flag(2, [(0, 1)], pairs, [], {}, (20, 20), distance=3)
     # the second constraint is within 3px of the dynamic first one
     assert pairs[(0, 1)].is_static.tolist() == [False, False, True]
+
+
+def test_fused_native_pair_builder_matches_numpy():
+    """The one-call native candidate builder (filter + stable sort + greedy)
+    must reproduce the numpy reference path exactly."""
+    from robust_cvd_tpu import native
+    from robust_cvd_tpu.solver import constraints as C
+
+    if native._load() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(7)
+    h, w = 48, 64
+    corner = rng.uniform(0, 1, (h, w)).astype(np.float32)
+    # include ties to exercise sort stability
+    corner[(corner > 0.5) & (corner < 0.6)] = 0.55
+    flow = rng.uniform(-6, 6, (h, w, 2)).astype(np.float32)
+    mask = rng.uniform(0, 1, (h, w)) > 0.3
+    a = C.build_pair_constraints(corner, flow, mask, 0.75, 5, use_native=True)
+    b = C.build_pair_constraints(corner, flow, mask, 0.75, 5, use_native=False)
+    np.testing.assert_array_equal(a.loc0, b.loc0)
+    np.testing.assert_array_equal(a.loc1, b.loc1)
+    assert len(a.loc0) > 10
+
+
+def test_fused_native_triplet_builder_matches_numpy():
+    from robust_cvd_tpu import native
+    from robust_cvd_tpu.solver import constraints as C
+
+    if native._load() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(8)
+    h, w = 48, 64
+    corner = rng.uniform(0, 1, (h, w)).astype(np.float32)
+    flow10 = rng.uniform(-5, 5, (h, w, 2)).astype(np.float32)
+    flow12 = rng.uniform(-5, 5, (h, w, 2)).astype(np.float32)
+    mask10 = rng.uniform(0, 1, (h, w)) > 0.25
+    mask12 = rng.uniform(0, 1, (h, w)) > 0.25
+    a = C.build_triplet_constraints(
+        corner, flow10, mask10, flow12, mask12, 0.75, 5, use_native=True
+    )
+    b = C.build_triplet_constraints(
+        corner, flow10, mask10, flow12, mask12, 0.75, 5, use_native=False
+    )
+    np.testing.assert_array_equal(a.loc, b.loc)
+    assert len(a.loc) > 10

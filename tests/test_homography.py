@@ -58,3 +58,32 @@ def test_unwarp_flow_translation():
     out = H.unwarp_flow(flow, H_BA)
     np.testing.assert_allclose(out[..., 0], -2.0, atol=1e-4)
     np.testing.assert_allclose(out[..., 1], 1.0, atol=1e-4)
+
+
+def test_dlt4_matches_true_homography():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    H_true = np.array([[1.05, 0.02, 4.0], [-0.01, 0.97, -2.5], [2e-4, -1e-4, 1.0]])
+    # well-spread quads (random 4-tuples can be near-collinear, which an
+    # exact fit legitimately amplifies — RANSAC scores those at ~0 inliers)
+    corners = np.array([[20, 20], [180, 25], [175, 150], [25, 160]], np.float32)
+    pts = (corners[None, None] + rng.uniform(-10, 10, (5, 7, 4, 2))).astype(
+        np.float32
+    )  # batched quads
+    proj = H._apply_h(H_true[None, None], pts)
+    H_est = np.asarray(H._dlt4(jnp.asarray(pts), jnp.asarray(proj.astype(np.float32))))
+    H_est = H_est / H_est[..., 2:3, 2:3]
+    np.testing.assert_allclose(
+        np.broadcast_to(H_true, H_est.shape), H_est, atol=2e-2
+    )
+
+
+def test_dlt4_degenerate_is_harmless():
+    """Collinear/duplicate points must not crash — RANSAC just scores the
+    garbage hypothesis at zero inliers."""
+    import jax.numpy as jnp
+
+    pts = np.zeros((1, 4, 2), np.float32)  # fully degenerate quad
+    out = np.asarray(H._dlt4(jnp.asarray(pts), jnp.asarray(pts)))
+    assert out.shape == (1, 3, 3)  # NaN/Inf allowed, shape intact

@@ -163,7 +163,7 @@ def test_grouped_conv_lowerings_equivalent():
             v = base.init(rng, x)
             assert v["params"]["kernel"].shape == (3, 3, C // G, F)
             ref = np.asarray(base.apply(v, x))
-            for impl in ("block_dense", "im2col"):
+            for impl in ("block_dense", "im2col", "merge2", "merge4", "merge8"):
                 m = GroupedConv3x3(
                     F, G, stride=stride, dtype=jnp.float32, impl=impl
                 )

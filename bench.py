@@ -313,7 +313,7 @@ def main():
     # (pipeline/flow.py:151-170 consistent_flow_masks;
     # solver/constraints.py::build_pair_constraints with the native greedy
     # sampler — reference utils/consistency.py + lib/FlowConstraints.cpp).
-    from robust_cvd_tpu.pipeline.flow import _clip_masks_fn
+    from robust_cvd_tpu.pipeline.flow import clip_masks_np
     from robust_cvd_tpu.solver.constraints import (
         build_pair_constraints,
         corner_min_eigenval,
@@ -334,7 +334,6 @@ def main():
     # mask programs + mask D2H + host greedy constraint building, exactly
     # what a real run pays between flow and pose opt.
     dev_flows = {p: jax.device_put(flow_px[p]) for p in fwd_pairs}
-    masks_fn = _clip_masks_fn()
 
     def constraints_pass():
         n = 0
@@ -345,8 +344,7 @@ def main():
             f01 = jnp.stack([dev_flows[p] for p in padded])
             ii = jnp.asarray([i for (i, j) in padded], jnp.int32)
             jj = jnp.asarray([j for (i, j) in padded], jnp.int32)
-            m01, _m10 = masks_fn(images, f01, -f01, ii, jj, 1.0, 1.0)
-            m01 = np.asarray(m01)
+            m01, _m10 = clip_masks_np(images, f01, -f01, ii, jj, 1.0, 1.0)
             for k, (i, j) in enumerate(chunk):
                 pc = build_pair_constraints(
                     corners[i], flow_px[(i, j)], m01[k], H / W

@@ -9,9 +9,10 @@ XLA/TPU rather than a port of detectron2's dynamic-shape CUDA pipeline:
   - every stage has STATIC shapes: fixed top-k proposal counts, NMS as a
     fixed-trip greedy suppression loop (`lax.fori_loop`) over a dense IoU
     matrix, fixed `max_detections` outputs with validity scores,
-  - ROIAlign is a batched gather-free bilinear sampler (one einsum-free
-    vectorized gather per level, blended by a one-hot level assignment) —
-    no dynamic per-box loops,
+  - ROIAlign is ONE vectorized gather pass over a vertically-stacked
+    FPN-level atlas (each box samples at its assigned level's row origin
+    with its level's stride) — no dynamic per-box loops, no per-level
+    redundancy,
   - mask pasting resamples every detection's 28x28 mask over the full
     image grid in one vectorized op (no per-box dynamic crops),
   - compute path in bfloat16 (frozen BatchNorm is a folded affine), box
@@ -357,19 +358,78 @@ def assign_levels(boxes, k_min=2, k_max=5):
     return jnp.clip(lvl, k_min, k_max).astype(jnp.int32)
 
 
-def roi_align_fpn(feats, boxes, out_size: int):
-    """Multi-level ROIAlign: compute per level, one-hot blend by assignment
-    (a dense-but-small redundancy that keeps shapes static — R boxes x 4
-    levels instead of dynamic partitioning)."""
+def _bilinear_sample_levels(atlas, xs, ys, hb, wb, yob):
+    """Bilinear taps from a vertically-stacked level atlas. xs/ys are
+    LEVEL-LOCAL continuous coords (R, n, n); hb/wb/yob are each box's level
+    dims + atlas row origin (R,) int32. Out-of-level taps read 0 — identical
+    border semantics to _bilinear_sample on the individual level map."""
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    fx = xs - x0
+    fy = ys - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    hbb = hb[:, None, None]
+    wbb = wb[:, None, None]
+    yo = yob[:, None, None]
+
+    def tap(yi, xi):
+        ok = (yi >= 0) & (yi < hbb) & (xi >= 0) & (xi < wbb)
+        yc = jnp.clip(yi, 0, hbb - 1) + yo
+        xc = jnp.clip(xi, 0, wbb - 1)
+        return atlas[yc, xc] * ok[..., None]
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    return (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
+    )
+
+
+def roi_align_fpn(feats, boxes, out_size: int, sampling: int = 2):
+    """Multi-level ROIAlign as ONE gather pass: the P2..P5 maps are stacked
+    into a vertical atlas (zero-padded to common width) and each box samples
+    at its assigned level's row origin with its level's stride. Static
+    shapes, no per-level redundancy (the earlier one-hot blend gathered all
+    4 levels for every box — 4x the taps; PERF.md)."""
     lvl = assign_levels(boxes)
-    out = None
-    for i, feat in enumerate(feats[:4]):  # P2..P5
-        stride = 4 * (2 ** i)
-        pooled = roi_align_level(feat.astype(jnp.float32)[0], boxes,
-                                 out_size, stride)
-        sel = (lvl == (i + 2)).astype(pooled.dtype)[:, None, None, None]
-        out = pooled * sel if out is None else out + pooled * sel
-    return out
+    maps = [f.astype(jnp.float32)[0] for f in feats[:4]]  # P2..P5
+    hs = [m.shape[0] for m in maps]
+    ws = [m.shape[1] for m in maps]
+    W = max(ws)
+    atlas = jnp.concatenate(
+        [jnp.pad(m, ((0, 0), (0, W - m.shape[1]), (0, 0))) for m in maps],
+        axis=0,
+    )
+    y_off = [0, hs[0], hs[0] + hs[1], hs[0] + hs[1] + hs[2]]
+    li = lvl - 2  # (R,) index into P2..P5
+    hb = jnp.asarray(hs, jnp.int32)[li]
+    wb = jnp.asarray(ws, jnp.int32)[li]
+    yob = jnp.asarray(y_off, jnp.int32)[li]
+    stride_b = 4.0 * (2.0 ** li.astype(jnp.float32))
+
+    r = boxes.shape[0]
+    b = boxes / stride_b[:, None] - 0.5  # aligned=True level-local coords
+    x0, y0, x1, y1 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    bw = jnp.maximum(x1 - x0, 1e-6)
+    bh = jnp.maximum(y1 - y0, 1e-6)
+    n = out_size * sampling
+    gi = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+    xs = x0[:, None] + gi[None, :] * bw[:, None]
+    ys = y0[:, None] + gi[None, :] * bh[:, None]
+    xx = jnp.broadcast_to(xs[:, None, :], (r, n, n))
+    yy = jnp.broadcast_to(ys[:, :, None], (r, n, n))
+    samples = _bilinear_sample_levels(atlas, xx, yy, hb, wb, yob)
+    c = samples.shape[-1]
+    samples = samples.reshape(r, out_size, sampling, out_size, sampling, c)
+    return samples.mean(axis=(2, 4))
 
 
 # --------------------------------------------------------------------------

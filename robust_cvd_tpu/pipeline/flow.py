@@ -64,14 +64,35 @@ def im_ref_shape3(x):
 
 
 def _pair_masks_traced(flow01, flow10, color0, color1, flow_thresh, color_thresh):
+    """Both consistency tests per direction share the same warp positions, so
+    the reverse flow and the target color are warped as ONE (H, W, 5) gather
+    per direction (the gathers dominate this program on the tunnel backend;
+    PERF.md). Numerically identical to two separate _cmask_traced calls."""
+    import jax.numpy as jnp
+
     C = color0.shape[-1]
-    m01 = _cmask_traced(flow01, -flow10, flow01, flow_thresh**2) & _cmask_traced(
-        color0, color1, flow01, C * color_thresh**2
+
+    def one_way(flow_fwd, flow_rev, c_ref, c_tgt):
+        from ..ops.geometry import grid_sample, pixel_grid
+
+        H, W = flow_fwd.shape[:2]
+        target = pixel_grid((H, W)) + flow_fwd
+        inb = (
+            (target[..., 0] >= 0)
+            & (target[..., 0] <= W - 1)
+            & (target[..., 1] >= 0)
+            & (target[..., 1] <= H - 1)
+        )
+        stacked = jnp.concatenate([-flow_rev, im_ref_shape3(c_tgt)], axis=-1)
+        warped = grid_sample(stacked, target)
+        fdiff = jnp.sum((flow_fwd - warped[..., :2]) ** 2, axis=-1)
+        cdiff = jnp.sum((im_ref_shape3(c_ref) - warped[..., 2:]) ** 2, axis=-1)
+        return inb & (fdiff < flow_thresh**2) & (cdiff < C * color_thresh**2)
+
+    return (
+        one_way(flow01, flow10, color0, color1),
+        one_way(flow10, flow01, color1, color0),
     )
-    m10 = _cmask_traced(flow10, -flow01, flow10, flow_thresh**2) & _cmask_traced(
-        color1, color0, flow10, C * color_thresh**2
-    )
-    return m01, m10
 
 
 _BATCHED_MASKS = None
@@ -80,29 +101,64 @@ _CLIP_MASKS = None
 _POSTPROC = None
 
 
+def _pack_bits_traced(m):
+    """(..., W) bool -> (..., ceil(W/8)) uint8, np.unpackbits-compatible
+    (MSB-first). The boolean masks cross the tunnel's slow D2H path
+    (~10 MB/s); packing on device cuts that transfer 8x."""
+    import jax.numpy as jnp
+
+    W = m.shape[-1]
+    pad = (-W) % 8
+    if pad:
+        m = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(0, pad)])
+    grouped = m.reshape(m.shape[:-1] + (-1, 8)).astype(jnp.int32)
+    wts = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    return jnp.sum(grouped * wts, axis=-1).astype(jnp.uint8)
+
+
+def _unpack_bits_np(packed: np.ndarray, width: int) -> np.ndarray:
+    return np.unpackbits(packed, axis=-1)[..., :width].astype(bool)
+
+
 def _clip_masks_fn():
     """Masks from DEVICE-RESIDENT whole-clip colors + chunk flows: colors
     are gathered by frame index inside the program, so nothing but the
     (tiny) index vectors crosses the host boundary. The tunnel's H2D path
     measures ~22 MB/s — re-uploading colors/flows per chunk costs seconds;
     this is the path the flow stage uses when flows are still resident
-    from RAFT."""
+    from RAFT. Returns BIT-PACKED masks (2, B, H, ceil(W/8)) uint8 — use
+    clip_masks_np for numpy bool output."""
     global _CLIP_MASKS
     if _CLIP_MASKS is None:
         import functools
 
         import jax
+        import jax.numpy as jnp
 
         @functools.partial(jax.jit, static_argnums=(5, 6))
         def f(colors, f01, f10, ii, jj, flow_thresh, color_thresh):
             c0 = colors[ii]
             c1 = colors[jj]
-            return jax.vmap(
+            m01, m10 = jax.vmap(
                 _pair_masks_traced, in_axes=(0, 0, 0, 0, None, None)
             )(f01, f10, c0, c1, flow_thresh, color_thresh)
+            return _pack_bits_traced(jnp.stack([m01, m10]))
 
         _CLIP_MASKS = f
     return _CLIP_MASKS
+
+
+def clip_masks_np(colors, f01, f10, ii, jj, flow_thresh, color_thresh):
+    """Host-facing wrapper over _clip_masks_fn: one jitted dispatch, one
+    bit-packed D2H, numpy bool (B, H, W) masks both ways."""
+    W = int(f01.shape[2])
+    packed = np.asarray(
+        _clip_masks_fn()(
+            colors, f01, f10, ii, jj, float(flow_thresh), float(color_thresh)
+        )
+    )
+    both = _unpack_bits_np(packed, W)
+    return both[0], both[1]
 
 
 def _postproc_fn():
@@ -313,7 +369,6 @@ class FlowStage:
                         self.store.load_flow(*d)
                     )
         B = self.batch_size
-        masks_fn = _clip_masks_fn()
         for s in range(0, len(missing), B):
             chunk = missing[s : s + B]
             padded = chunk + [chunk[-1]] * (B - len(chunk))
@@ -321,14 +376,12 @@ class FlowStage:
             f10 = jnp.stack([self._dev_flows[(b, a)] for (a, b) in padded])
             ii = jnp.asarray([a for (a, b) in padded], jnp.int32)
             jj = jnp.asarray([b for (a, b) in padded], jnp.int32)
-            m01, m10 = masks_fn(
-                colors_dev, f01, f10, ii, jj,
-                float(flow_thresh), float(color_thresh),
+            m01, m10 = clip_masks_np(
+                colors_dev, f01, f10, ii, jj, flow_thresh, color_thresh
             )
-            both = np.asarray(jnp.stack([m01, m10]))
             for k, (a, b) in enumerate(chunk):
-                self.store.save_flow_mask(a, b, both[0, k])
-                self.store.save_flow_mask(b, a, both[1, k])
+                self.store.save_flow_mask(a, b, m01[k])
+                self.store.save_flow_mask(b, a, m10[k])
 
     def visualize_flow(self, index_pairs, warp: bool = True):
         """Write vis_flow/frame_%06d_%06d.png (colors + flow wheel, original

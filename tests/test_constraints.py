@@ -122,9 +122,11 @@ def test_fused_native_pair_builder_matches_numpy():
         pytest.skip("native toolchain unavailable")
     rng = np.random.default_rng(7)
     h, w = 48, 64
-    corner = rng.uniform(0, 1, (h, w)).astype(np.float32)
-    # include ties to exercise sort stability
+    # negatives exercise the radix sort's sign handling (cornerMinEigenVal
+    # can go slightly negative numerically); ties exercise stability
+    corner = rng.uniform(-0.2, 1, (h, w)).astype(np.float32)
     corner[(corner > 0.5) & (corner < 0.6)] = 0.55
+    corner[0, :4] = 0.0
     flow = rng.uniform(-6, 6, (h, w, 2)).astype(np.float32)
     mask = rng.uniform(0, 1, (h, w)) > 0.3
     a = C.build_pair_constraints(corner, flow, mask, 0.75, 5, use_native=True)

@@ -296,3 +296,38 @@ def test_fc1_reorder_is_consistent():
     kernel = wt.reshape(11, c, h, w).transpose(2, 3, 1, 0).reshape(h * w * c, 11)
     got = flax_in @ kernel
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_roi_align_fpn_atlas_matches_per_level():
+    """The single-pass atlas ROIAlign must equal computing ROIAlign on each
+    box's assigned level map directly (the pre-atlas formulation)."""
+    rng = np.random.default_rng(9)
+    H0, W0 = 64, 96  # stride-4 level dims
+    feats = [
+        jnp.asarray(
+            rng.standard_normal((1, H0 // 2**i, W0 // 2**i, 5)), jnp.float32
+        )
+        for i in range(5)  # P2..P6 (fpn passes 5; roi uses first 4)
+    ]
+    # boxes spanning all 4 assignment levels (areas ~32^2 .. 500^2), plus
+    # edge-hangers exercising the zero-pad border
+    boxes = np.asarray(
+        [
+            [4, 4, 36, 36],        # small -> P2
+            [0, 0, 100, 100],      # -> P3
+            [-8, -8, 200, 220],    # hangs out, -> P4
+            [0, 0, 380, 250],      # large -> P5
+            [360, 240, 383, 255],  # corner sliver -> P2
+        ],
+        np.float32,
+    )
+    got = np.asarray(M.roi_align_fpn(feats, jnp.asarray(boxes), 7))
+    lvl = np.asarray(M.assign_levels(jnp.asarray(boxes)))
+    for i, box in enumerate(boxes):
+        li = int(lvl[i]) - 2
+        want = np.asarray(
+            M.roi_align_level(
+                feats[li][0], jnp.asarray(box[None]), 7, 4.0 * 2**li
+            )
+        )[0]
+        np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-5)

@@ -270,3 +270,29 @@ def test_flow_postproc_matches_host_path():
     for k in range(2):
         want = resize_flow(hg.unwarp_flow(flows[k], Hs[k]), (8, 12))
         np.testing.assert_allclose(got[k], want, atol=1e-3)
+
+
+def test_clip_masks_np_bitpacking_roundtrip():
+    """clip_masks_np (device bit-pack + host unpack) equals the plain
+    batched mask program, including non-multiple-of-8 widths."""
+    import jax.numpy as jnp
+
+    from robust_cvd_tpu.pipeline.flow import (
+        clip_masks_np,
+        consistent_flow_masks_batched,
+    )
+
+    rng = np.random.default_rng(11)
+    N, H, W = 4, 20, 27  # W % 8 != 0 exercises the pad path
+    colors = jnp.asarray(rng.uniform(0, 1, (N, H, W, 3)), jnp.float32)
+    f01 = jnp.asarray(rng.uniform(-2, 2, (2, H, W, 2)), jnp.float32)
+    f10 = -f01
+    ii = jnp.asarray([0, 2], jnp.int32)
+    jj = jnp.asarray([1, 3], jnp.int32)
+    m01, m10 = clip_masks_np(colors, f01, f10, ii, jj, 1.0, 1.0)
+    r01, r10 = consistent_flow_masks_batched(
+        f01, f10, colors[ii], colors[jj], 1.0, 1.0
+    )
+    np.testing.assert_array_equal(m01, np.asarray(r01))
+    np.testing.assert_array_equal(m10, np.asarray(r10))
+    assert m01.dtype == bool and m01.shape == (2, H, W)

@@ -29,6 +29,27 @@ def compute_initial_depth(
     images = store.load_color_down()
     N = images.shape[0]
 
+    if len(jax.devices()) > 1:
+        # Batch-parallel over the mesh (reference wraps MiDaS in
+        # DataParallel, monodepth/midas_v2_model.py:35-37): the whole clip
+        # as ONE SPMD program, frame axis sharded over ICI.
+        from ..models.midas import disparity_to_depth, normalize_images
+        from ..parallel import mesh as pmesh
+
+        def apply_fn(variables, x):
+            disp = adapter.net.apply(variables, normalize_images(x))
+            return disparity_to_depth(disp)
+
+        depth = np.asarray(
+            pmesh.infer_data_parallel(
+                apply_fn,
+                {"params": adapter.params, "batch_stats": adapter.batch_stats},
+                jnp.asarray(images),
+            )
+        )
+        store.save_depth_stream(stream, depth)
+        return depth
+
     @jax.jit
     def fwd(x):
         return adapter.estimate_depth(x)

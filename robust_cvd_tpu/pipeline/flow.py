@@ -303,7 +303,43 @@ class FlowStage:
 
         from ..ops import homography as hg
 
+        # With >1 device the whole chunk program (registration + RAFT +
+        # un-warp/resize) shards its pair axis over the mesh — the
+        # TPU-native form of the reference's DataParallel flow net
+        # (optical_flow_homography.py:252); chunks grow by the device
+        # count, mirroring the reference's num-GPU batch scaling.
+        mesh = None
+        if len(jax.devices()) > 1:
+            from ..parallel import mesh as pmesh
+
+            mesh = pmesh.make_mesh()
+            n_dev = int(np.prod(mesh.devices.shape))
+            use_h = self.homography
+
+            def chunk_fn(variables, ims):
+                im1, im2 = ims
+                if use_h:
+                    Hs, im2r = hg.register_pairs(im1, im2)
+                else:
+                    Hs = jnp.broadcast_to(
+                        jnp.eye(3, dtype=jnp.float32), (im1.shape[0], 3, 3)
+                    )
+                    im2r = im2
+                flows_reg = self.model.apply(
+                    variables, im1 * 255.0, im2r * 255.0
+                )
+                return _postproc_fn()(flows_reg, Hs, (dh, dw), use_h)
+
+            chunk_dp = pmesh.data_parallel_fn(chunk_fn, mesh)
+            v_rep = pmesh.replicate(self.variables, mesh)
+            b_sh = pmesh.batch_sharded(mesh)
+            repl = pmesh.replicated(mesh)
+
         B = self.batch_size
+        if mesh is not None:
+            # device-count batch scaling, capped at the (device-multiple)
+            # work actually available so tiny clips don't pad 25x
+            B = min(B * n_dev, -(-len(missing) // n_dev) * n_dev)
         for s in range(0, len(missing), B):
             chunk = missing[s : s + B]
             im1 = np.stack(
@@ -322,16 +358,26 @@ class FlowStage:
             # Registration, RAFT, unwarp, and the resize to color_down all
             # stay on device; ONE chunk D2H feeds the disk writes and the
             # per-pair device slices stay cached for the mask stage.
-            im1_d = jnp.asarray(im1, jnp.float32)
-            if self.homography:
-                Hs_d, im2_d = hg.register_pairs(im1_d, im2)
+            if mesh is not None:
+                ims = (
+                    jax.device_put(jnp.asarray(im1, jnp.float32), b_sh),
+                    jax.device_put(jnp.asarray(im2, jnp.float32), b_sh),
+                )
+                # replicate so per-pair slices cached for the mask stage
+                # stay mesh-coherent (a batch-sharded slice would commit
+                # to one device and poison downstream stacks)
+                flows_down = jax.device_put(chunk_dp(v_rep, ims), repl)
             else:
-                Hs_d = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
-                im2_d = jnp.asarray(im2, jnp.float32)
-            flows_reg = run(im1_d * 255.0, im2_d * 255.0)
-            flows_down = _postproc_fn()(
-                flows_reg, Hs_d, (dh, dw), self.homography
-            )
+                im1_d = jnp.asarray(im1, jnp.float32)
+                if self.homography:
+                    Hs_d, im2_d = hg.register_pairs(im1_d, im2)
+                else:
+                    Hs_d = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
+                    im2_d = jnp.asarray(im2, jnp.float32)
+                flows_reg = run(im1_d * 255.0, im2_d * 255.0)
+                flows_down = _postproc_fn()(
+                    flows_reg, Hs_d, (dh, dw), self.homography
+                )
             flows_host = np.asarray(flows_down)
             for k, (i, j) in enumerate(chunk):
                 self.store.save_flow(i, j, flows_host[k])
@@ -359,16 +405,51 @@ class FlowStage:
         if not missing:
             return
         colors_dev = jnp.asarray(down)
+
+        # Mesh path: the per-chunk mask program shards its pair axis over
+        # the data axis (colors replicated — they're gathered by frame
+        # index inside the program), chunks grow by the device count.
+        mesh = None
+        if len(jax.devices()) > 1:
+            from ..parallel import mesh as pmesh
+
+            mesh = pmesh.make_mesh()
+            n_dev = int(np.prod(mesh.devices.shape))
+            ft, ct = float(flow_thresh), float(color_thresh)
+
+            def mask_fn(colors, x):
+                f01, f10, ii, jj = x
+                c0 = colors[ii]
+                c1 = colors[jj]
+                m01, m10 = jax.vmap(
+                    _pair_masks_traced, in_axes=(0, 0, 0, 0, None, None)
+                )(f01, f10, c0, c1, ft, ct)
+                # batch axis LEADING (the single-device program stacks the
+                # two directions first, which cannot shard)
+                return _pack_bits_traced(jnp.stack([m01, m10], axis=1))
+
+            mask_dp = pmesh.data_parallel_fn(mask_fn, mesh)
+            colors_rep = pmesh.replicate(colors_dev, mesh)
+            b_sh = pmesh.batch_sharded(mesh)
+            flow_place = pmesh.replicated(mesh)
+        else:
+            flow_place = None
+
         # Flows computed this run are still device-resident; resume-case
         # flows are read from disk, with every upload issued up front so
         # the slow tunnel H2D (~22 MB/s) pipelines behind the mask programs.
         for key in missing:
             for d in (key, key[::-1]):
                 if d not in self._dev_flows:
-                    self._dev_flows[d] = jax.device_put(
-                        self.store.load_flow(*d)
+                    f = self.store.load_flow(*d)
+                    self._dev_flows[d] = (
+                        jax.device_put(f, flow_place)
+                        if flow_place is not None else jax.device_put(f)
                     )
         B = self.batch_size
+        if mesh is not None:
+            B = min(B * n_dev, -(-len(missing) // n_dev) * n_dev)
+        W = int(down.shape[2])
         for s in range(0, len(missing), B):
             chunk = missing[s : s + B]
             padded = chunk + [chunk[-1]] * (B - len(chunk))
@@ -376,9 +457,17 @@ class FlowStage:
             f10 = jnp.stack([self._dev_flows[(b, a)] for (a, b) in padded])
             ii = jnp.asarray([a for (a, b) in padded], jnp.int32)
             jj = jnp.asarray([b for (a, b) in padded], jnp.int32)
-            m01, m10 = clip_masks_np(
-                colors_dev, f01, f10, ii, jj, flow_thresh, color_thresh
-            )
+            if mesh is not None:
+                packed = np.asarray(mask_dp(
+                    colors_rep,
+                    tuple(jax.device_put(t, b_sh) for t in (f01, f10, ii, jj)),
+                ))
+                both = _unpack_bits_np(packed, W)  # (B, 2, H, W)
+                m01, m10 = both[:, 0], both[:, 1]
+            else:
+                m01, m10 = clip_masks_np(
+                    colors_dev, f01, f10, ii, jj, flow_thresh, color_thresh
+                )
             for k, (a, b) in enumerate(chunk):
                 self.store.save_flow_mask(a, b, m01[k])
                 self.store.save_flow_mask(b, a, m10[k])

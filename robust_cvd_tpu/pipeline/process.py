@@ -175,7 +175,19 @@ class DatasetProcessor:
         ft_dir = pjoin(self.out_dir(store.num_frames), make_tag(cfg))
         os.makedirs(ft_dir, exist_ok=True)
 
-        tuner = FineTuner(cfg, adapter, clip, inputs, pose=pose, out_dir=ft_dir)
+        import jax
+
+        mesh = None
+        if len(jax.devices()) > 1:
+            # Mesh-data-parallel fine-tuning (the reference's multi-GPU
+            # DataParallel path, params.py:260-262): batch axis sharded
+            # over ICI, model replicated, gradient psum.
+            from ..parallel import mesh as pmesh
+
+            mesh = pmesh.make_mesh()
+        tuner = FineTuner(
+            cfg, adapter, clip, inputs, pose=pose, out_dir=ft_dir, mesh=mesh
+        )
         tuner.run()
         return tuner
 

@@ -276,7 +276,8 @@ def make_train_step(net, loss_opt: LossParams, optimizer, use_temporal: bool):
     return jax.jit(_make_step_body(net, loss_opt, optimizer, use_temporal))
 
 
-def make_epoch_fn(net, loss_opt: LossParams, optimizer, use_temporal: bool):
+def make_epoch_fn(net, loss_opt: LossParams, optimizer, use_temporal: bool,
+                  mesh=None):
     """Whole-epoch fused program: `lax.scan` of the train-step body over a
     (S, B) block of batch ids — ONE device dispatch per epoch instead of S.
 
@@ -284,6 +285,12 @@ def make_epoch_fn(net, loss_opt: LossParams, optimizer, use_temporal: bool):
     larger than a single step's compute, so the reference's DataLoader-style
     per-batch stepping (depth_fine_tuning.py:478) is re-designed as an
     on-device scan over the HBM-resident clip tensors.
+
+    With `mesh`, the per-step batch axis of `batch_ids` (S, B) is sharded
+    over the mesh's data axis and parameters/optimizer state are replicated
+    — the TPU-native form of the reference's DataParallel training step
+    (params.py:260-262 scales batch_size by num_gpus; gradient reduction
+    becomes ONE XLA psum over ICI instead of NCCL bucket all-reduce).
 
     Returns (params, batch_stats, opt_state, losses (S,), parts {k: (S,)}).
     """
@@ -301,7 +308,20 @@ def make_epoch_fn(net, loss_opt: LossParams, optimizer, use_temporal: bool):
         )
         return params, batch_stats, opt_state, losses_s, parts_s
 
-    return jax.jit(epoch)
+    if mesh is None:
+        return jax.jit(epoch)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import mesh as pmesh
+
+    repl = pmesh.replicated(mesh)
+    blocks = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(
+        epoch,
+        in_shardings=(repl, repl, repl, blocks, repl, repl, repl),
+        out_shardings=repl,
+    )
 
 
 def _make_eval_body(net, loss_opt: LossParams, use_temporal: bool):
@@ -387,9 +407,21 @@ class FineTuner:
 
     def __init__(self, cfg: PipelineConfig, adapter, clip: ClipData,
                  pose_inputs: PoseOptInputs, seed: int = 0,
-                 pose=None, out_dir: Optional[str] = None):
+                 pose=None, out_dir: Optional[str] = None, mesh=None):
         self.cfg = cfg
         self.adapter = adapter
+        self.mesh = mesh
+        self.n_mesh = 1
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            self.n_mesh = int(np.prod(mesh.devices.shape))
+            # Placement invariant: with a mesh, every committed array lives
+            # ON the mesh (replicated or data-sharded). Mixing mesh-committed
+            # solver outputs with single-device clip/param tensors makes XLA
+            # compile hidden resharding collectives into every downstream
+            # program (and deadlocks oversubscribed CPU test meshes).
+            clip = pmesh.replicate(clip, mesh)
         self.clip = clip
         self.pose_inputs = pose_inputs
         self.pose = pose
@@ -409,13 +441,21 @@ class FineTuner:
             adapter.net, cfg.loss, self.optimizer, self.use_temporal
         )
         self.epoch_fn = make_epoch_fn(
-            adapter.net, cfg.loss, self.optimizer, self.use_temporal
+            adapter.net, cfg.loss, self.optimizer, self.use_temporal,
+            mesh=self.mesh,
         )
         self._infer_fwd = None
         self.params = adapter.params
         self.batch_stats = adapter.batch_stats
         self.params_init = jax.tree.map(jnp.asarray, adapter.params)
         self.opt_state = self.optimizer.init(self.params)
+        if self.mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            self.params = pmesh.replicate(self.params, self.mesh)
+            self.batch_stats = pmesh.replicate(self.batch_stats, self.mesh)
+            self.params_init = pmesh.replicate(self.params_init, self.mesh)
+            self.opt_state = pmesh.replicate(self.opt_state, self.mesh)
         self.solver_params: Optional[SolverParams] = None
         self.eval_fn = None
         self.history: List[Dict] = []
@@ -443,6 +483,13 @@ class FineTuner:
         self.pose_state = pose_state_from_solver(
             self.solver_params, shape, self.pose_inputs.aspect, self.clip.depth_orig
         )
+        if self.mesh is not None:
+            # The SPMD solve leaves its outputs in whatever partitioned
+            # layout XLA chose; re-commit the (tiny) pose state replicated
+            # so it matches the DP epoch's in_shardings.
+            from ..parallel import mesh as pmesh
+
+            self.pose_state = pmesh.replicate(self.pose_state, self.mesh)
         if self.pose is not None:
             # persist camera state + transforms + video.dat after every pose
             # opt (reference pose_optimization.py:240 depth_video.save())
@@ -457,6 +504,13 @@ class FineTuner:
         num_epochs = num_epochs or ft.num_epochs
         P = int(self.clip.pair_idx.shape[0])
         B = max(1, min(ft.batch_size, P))
+        if self.mesh is not None:
+            # The reference scales the batch by device count under
+            # DataParallel (params.py:260-262 "Adjusting batch size");
+            # here each mesh device takes `batch_size` pairs of the
+            # sharded step. Clips with fewer pairs than the mesh is wide
+            # fall through to the (replicated) trailing step below.
+            B = min(ft.batch_size * self.n_mesh, P) // self.n_mesh * self.n_mesh
         inter_freq = ft.save_intermediate_depth_streams_freq
         persist = self.pose is not None and self.out_dir is not None
 
@@ -488,7 +542,7 @@ class FineTuner:
             # latency >> step compute on this hardware); the trailing
             # partial batch is kept (reference DataLoader drop_last=False)
             # and runs as its own fixed-shape step.
-            S = P // B
+            S = P // B if B > 0 else 0
             if S > 0:
                 blocks = jnp.asarray(order[: S * B].reshape(S, B), jnp.int32)
                 (self.params, self.batch_stats, self.opt_state, losses_s,
@@ -842,8 +896,29 @@ class FineTuner:
 
     def infer_depth(self, batch: int = 8) -> jnp.ndarray:
         """Batched whole-clip inference (reference save_depth,
-        depth_fine_tuning.py:227-294)."""
+        depth_fine_tuning.py:227-294). With a mesh, the frame axis is
+        sharded over the data axis (the DataParallel equivalent,
+        monodepth/midas_v2_model.py:35-37) — otherwise every device would
+        redundantly re-infer the whole clip at each refresh."""
         from ..models.midas import disparity_to_depth, normalize_images
+
+        if self.mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            if getattr(self, "_infer_dp", None) is None:
+                def apply_fn(v, x):
+                    disp = self.adapter.net.apply(v, normalize_images(x))
+                    return disparity_to_depth(disp)
+
+                self._infer_dp = pmesh.data_parallel_fn(apply_fn, self.mesh)
+            N = int(self.clip.images.shape[0])
+            Np = -(-N // self.n_mesh) * self.n_mesh
+            x = pmesh._pad_leading(self.clip.images, Np)
+            x = jax.device_put(x, pmesh.batch_sharded(self.mesh))
+            depth = self._infer_dp(
+                {"params": self.params, "batch_stats": self.batch_stats}, x
+            )
+            return depth[:N]
 
         if self._infer_fwd is None:
             # built once: a fresh closure per call would retrace every time

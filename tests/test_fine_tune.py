@@ -282,3 +282,104 @@ def test_tensorboard_artifacts(tmp_path):
     ]
     assert events, "no tensorboard event files written"
     assert os.path.getsize(tmp_path / "tb" / events[0]) > 500
+
+
+def test_epoch_fn_mesh_matches_single_device():
+    """The mesh-data-parallel epoch (batch axis sharded over the data axis,
+    params replicated, gradient reduction as XLA psum — the TPU-native form
+    of the reference's DataParallel training, params.py:260-262) must
+    reproduce the unsharded epoch on identical batch blocks, including the
+    BatchNorm batch statistics (a global mean over the sharded batch)."""
+    import optax
+
+    from robust_cvd_tpu.config import LossParams
+    from robust_cvd_tpu.parallel import mesh as pmesh
+
+    clip, _ = make_tiny_setup(N=9)  # P = 16 pairs -> 2 blocks of 8
+    adapter = TinyAdapter()
+    loss_opt = LossParams()
+    optimizer = optax.adam(1e-3)
+    N, H, W = clip.images.shape[:3]
+    ps = fine_tune.pose_state_from_solver(
+        SolverParams(
+            pose=jnp.zeros((N, 6)),
+            focal=jnp.full((N,), 0.5),
+            depth_grid=jnp.ones((N, 1, 1, 1)),
+            spatial_grid=jnp.zeros((N, 1, 1, 2)),
+        ),
+        (H, W),
+        aspect=W / H,
+    )
+
+    P = int(clip.pair_idx.shape[0])
+    B = 8
+    S = P // B
+    order = np.random.default_rng(2).permutation(P)
+    blocks = jnp.asarray(order[: S * B].reshape(S, B), jnp.int32)
+    p0, bs0 = adapter.params, adapter.batch_stats
+    os0 = optimizer.init(p0)
+
+    epoch_1d = fine_tune.make_epoch_fn(adapter.net, loss_opt, optimizer, False)
+    w_p, w_bs, _, w_losses, _ = epoch_1d(p0, bs0, os0, blocks, clip, ps, p0)
+
+    mesh = pmesh.make_mesh(8)
+    epoch_dp = fine_tune.make_epoch_fn(
+        adapter.net, loss_opt, optimizer, False, mesh=mesh
+    )
+    g_p, g_bs, _, g_losses, _ = epoch_dp(
+        pmesh.replicate(p0, mesh),
+        pmesh.replicate(bs0, mesh),
+        pmesh.replicate(os0, mesh),
+        blocks,
+        pmesh.replicate(clip, mesh),
+        pmesh.replicate(ps, mesh),
+        pmesh.replicate(p0, mesh),
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(w_losses), np.asarray(g_losses), rtol=1e-4, atol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(w_p), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+    for a, b in zip(jax.tree.leaves(w_bs), jax.tree.leaves(g_bs)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_fine_tuner_runs_on_mesh():
+    """FineTuner end-to-end with a mesh: DP epochs, sharded whole-clip
+    depth refresh, SPMD pose re-solve — the placement-coherence regression
+    test for the CLI crash where mesh-committed solver outputs mixed with
+    single-device clip tensors (hidden resharding collectives)."""
+    from robust_cvd_tpu.parallel import mesh as pmesh
+
+    clip, inputs = make_tiny_setup(N=9)
+    mesh = pmesh.make_mesh(8)
+    inputs = pmesh.shard_pose_inputs(inputs, mesh)
+    import dataclasses
+
+    cfg = PipelineConfig(
+        opt=PoseOptParams(
+            num_steps=2, ctf_long=3, ctf_short=2, lm_max_outer=3,
+            lm_cg_iters=6,
+        ),
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        ft=dataclasses.replace(
+            cfg.ft,
+            num_epochs=2,
+            batch_size=1,  # -> 8 per sharded step, reference num-GPU scaling
+            val_epoch_freq=-1,
+            save_checkpoints=False,
+        ),
+    )
+    tuner = FineTuner(cfg, TinyAdapter(), clip, inputs, mesh=mesh)
+    history = tuner.run()
+    assert len(history) == 2
+    assert all(np.isfinite(h["loss"]) for h in history)
+    depth = np.asarray(tuner.infer_depth())
+    assert depth.shape == clip.images.shape[:3] and np.isfinite(depth).all()

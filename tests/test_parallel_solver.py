@@ -69,3 +69,29 @@ def test_shard_pose_inputs_layout():
         pmesh.batch_sharded(mesh), sh.data.loc0.ndim
     )
     assert sh.median_depth.sharding.is_fully_replicated
+
+
+def test_infer_data_parallel_matches_single_device():
+    """Mesh-sharded batched inference (the DataParallel equivalent,
+    reference midas_v2_model.py:35-37) must reproduce the single-device
+    forward, including the ragged-batch pad/slice path."""
+    import jax
+
+    from robust_cvd_tpu.models.midas import MidasNet, normalize_images
+
+    net = MidasNet(features=16, backbone_layers=(1, 1, 1, 1))
+    x = np.random.default_rng(0).uniform(0, 1, (11, 32, 32, 3)).astype(
+        np.float32
+    )  # 11 % 8 != 0 exercises padding
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+
+    def apply_fn(v, xx):
+        return net.apply(v, normalize_images(xx))
+
+    want = np.asarray(apply_fn(variables, jnp.asarray(x)))
+    mesh = pmesh.make_mesh(8)
+    got = np.asarray(
+        pmesh.infer_data_parallel(apply_fn, variables, jnp.asarray(x), mesh)
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)  # bf16 path

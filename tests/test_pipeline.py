@@ -296,3 +296,65 @@ def test_clip_masks_np_bitpacking_roundtrip():
     np.testing.assert_array_equal(m01, np.asarray(r01))
     np.testing.assert_array_equal(m10, np.asarray(r10))
     assert m01.dtype == bool and m01.shape == (2, H, W)
+
+
+def test_flow_stage_mesh_matches_single_device(clip_dir, monkeypatch):
+    """compute_flow + compute_flow_masks on the 8-device mesh (pair axis
+    sharded, the reference's DataParallel flow path,
+    optical_flow_homography.py:252) must reproduce the single-device
+    stage: same flows (same per-pair programs, only the sharding differs)
+    and the same consistency masks up to threshold-boundary pixels."""
+    import shutil
+
+    import jax
+    import jax.numpy as jnp
+
+    from robust_cvd_tpu.models import raft
+
+    store = VideoStore.open(clip_dir)
+    vs = VideoStage(clip_dir)
+    vs.downscale_frames("color_down", 32, ".raw", align=8)
+    # flow frames at 48x64: the homography detector's 1024-keypoint top-k
+    # needs more pixels than the 24x32 down res has
+    vs.downscale_frames("color_flow", 64, ".png", align=8)
+
+    model = raft.RAFT(iters=2)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 48, 64, 3)), jnp.zeros((1, 48, 64, 3))
+    )
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2)]
+
+    def run_stage():
+        stage = FlowStage(store, raft_model=model, raft_variables=variables,
+                          batch_size=2)
+        stage.compute_flow(pairs)
+        stage.compute_flow_masks(pairs)
+        flows = {p: store.load_flow(*p) for p in pairs}
+        masks = {p: store.load_flow_mask(*p) for p in pairs}
+        return flows, masks
+
+    def clear_outputs():
+        for d in ("flow", "flow_mask"):
+            shutil.rmtree(pjoin(clip_dir, d), ignore_errors=True)
+
+    clear_outputs()
+    real_devices = jax.devices()
+    with monkeypatch.context() as m:
+        m.setattr(jax, "devices", lambda backend=None: real_devices[:1])
+        flows_1d, masks_1d = run_stage()
+
+    clear_outputs()
+    flows_dp, masks_dp = run_stage()
+
+    for p in pairs:
+        # bf16 through the recurrent GRU at a different batch tiling gives
+        # ~0.02 px of noise; sharding bugs (wrong pair routing, pad rows
+        # leaking) show up as whole-pixel errors
+        np.testing.assert_allclose(
+            flows_dp[p], flows_1d[p], atol=0.05,
+            err_msg=f"flow mismatch for pair {p}",
+        )
+        # masks are thresholded booleans; allow boundary-pixel flips
+        assert np.mean(masks_dp[p] != masks_1d[p]) < 0.02, (
+            f"mask mismatch for pair {p}"
+        )

@@ -164,12 +164,11 @@ def compute_dynamic_masks_rcnn(
     ph = -(-th // 32) * 32
     pw = -(-tw // 32) * 32
 
-    @jax.jit
-    def one_frame(img):
+    def frame_body(variables, img):
         net_in = jax.image.resize(img, (th, tw, 3), "bilinear")
         x = jnp.zeros((1, ph, pw, 3), jnp.float32)
         x = x.at[0, :th, :tw].set(net_in)
-        det = net.apply({"params": params}, x)
+        det = net.apply(variables, x)
         m = dynamic_mask_from_detections(det, (ph, pw), score_thresh)[:th, :tw]
         # contract resolution: the result tree stores masks at color_down
         # dims (consumed by the constraint builder's distance transform)
@@ -179,11 +178,46 @@ def compute_dynamic_masks_rcnn(
     out_dir = pjoin(store.base_dir, "dynamic_mask")
     os.makedirs(out_dir, exist_ok=True)
     wrote_any = False
-    for i in range(n):
+    missing = [
+        i for i in range(n)
+        if not os.path.exists(pjoin(out_dir, frame_name(i, ".png")))
+    ]
+    wrote_any = len(missing) < n
+
+    if len(jax.devices()) > 1 and len(missing) >= len(jax.devices()):
+        # Frame axis sharded over the mesh (the reference parallelizes
+        # detectron2 inference across GPUs, dynamic_mask_generation.py
+        # launches one worker per GPU); one frame per device per chunk
+        # bounds the vmapped activation memory. Clips with fewer missing
+        # frames than devices use the single-device loop (pad waste).
+        from ..parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh()
+        n_dev = int(np.prod(mesh.devices.shape))
+
+        def apply_fn(variables, imgs):
+            return jax.vmap(lambda im: frame_body(variables, im))(imgs)
+
+        dp = pmesh.data_parallel_fn(apply_fn, mesh)
+        v_rep = pmesh.replicate({"params": params}, mesh)
+        b_sh = pmesh.batch_sharded(mesh)
+        for s in range(0, len(missing), n_dev):
+            chunk = missing[s : s + n_dev]
+            idx = chunk + [chunk[-1]] * (n_dev - len(chunk))
+            x = jax.device_put(jnp.asarray(images[idx]), b_sh)
+            dyns = np.asarray(dp(v_rep, x))
+            for k, i in enumerate(chunk):
+                dyn = _dilate(dyns[k], dilate)
+                save_png_gray(
+                    pjoin(out_dir, frame_name(i, ".png")),
+                    (~dyn).astype(np.uint8) * 255,
+                )
+                wrote_any = True
+        return wrote_any
+
+    one_frame = jax.jit(lambda img: frame_body({"params": params}, img))
+    for i in missing:
         out = pjoin(out_dir, frame_name(i, ".png"))
-        if os.path.exists(out):
-            wrote_any = True
-            continue
         dyn = _dilate(np.asarray(one_frame(jnp.asarray(images[i]))), dilate)
         save_png_gray(out, (~dyn).astype(np.uint8) * 255)
         wrote_any = True

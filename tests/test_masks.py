@@ -71,3 +71,51 @@ def test_compute_dynamic_masks_rcnn_contract(tmp_path):
     assert set(np.unique(m0)) <= {0, 255}
     # idempotent
     assert compute_dynamic_masks_rcnn(store, ckpt)
+
+
+def test_compute_dynamic_masks_rcnn_mesh_matches_single_device(tmp_path, monkeypatch):
+    """The frame-sharded Mask R-CNN mask stage (the reference's
+    one-detectron2-worker-per-GPU parallelism, dynamic_mask_generation.py)
+    must reproduce the single-device per-frame loop."""
+    import pickle
+    import shutil
+
+    import jax
+
+    from test_mask_rcnn import _detectron2_layout_state
+
+    base = str(tmp_path / "clip")
+    h, w = 48, 64
+    n = 9  # > mesh width so the sharded branch engages
+    os.makedirs(pjoin(base, "color_full"))
+    save_frames_txt(pjoin(base, "frames.txt"), w, h, [i / 30 for i in range(n)])
+    store = VideoStore.open(base)
+    store.color_down = np.random.default_rng(0).uniform(
+        0, 1, (n, h, w, 3)
+    ).astype(np.float32)
+
+    ckpt = str(tmp_path / "mask_rcnn_R_50_FPN_3x.pkl")
+    sd = _detectron2_layout_state(np.random.default_rng(1))
+    with open(ckpt, "wb") as f:
+        pickle.dump({"model": sd, "__author__": "test"}, f)
+
+    from robust_cvd_tpu.pipeline.masks import compute_dynamic_masks_rcnn
+
+    def run():
+        assert compute_dynamic_masks_rcnn(
+            store, ckpt, dilate=2, test_size=64, max_size=96
+        )
+        return np.stack([
+            load_png_gray(pjoin(base, "dynamic_mask", f"frame_{i:06d}.png"))
+            for i in range(n)
+        ])
+
+    real_devices = jax.devices()
+    with monkeypatch.context() as m:
+        m.setattr(jax, "devices", lambda backend=None: real_devices[:1])
+        want = run()
+    shutil.rmtree(pjoin(base, "dynamic_mask"))
+    got = run()
+    # boolean masks from thresholded detections; vmap-vs-loop numerics may
+    # flip threshold-boundary pixels only
+    assert np.mean(got != want) < 0.02

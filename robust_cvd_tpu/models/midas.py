@@ -318,6 +318,15 @@ def disparity_to_depth(disparity: jnp.ndarray, epsilon: float = 1e-7) -> jnp.nda
     return 1.0 / (disparity + epsilon)
 
 
+def depth_apply(net, variables, images: jnp.ndarray) -> jnp.ndarray:
+    """THE whole-clip inference function — normalize + forward +
+    disparity->depth — shared by the depth stage, the fine-tuner's
+    per-epoch refresh, the adapter, and the driver dryrun, so the depth
+    convention cannot drift between single- and multi-device paths.
+    images: (B, H, W, 3) in [0, 1] -> depth (B, H, W)."""
+    return disparity_to_depth(net.apply(variables, normalize_images(images)))
+
+
 class MidasV2Adapter:
     """Model adapter: requirements + batched whole-clip inference
     (reference monodepth/midas_v2_model.py class attrs + estimate_depth)."""
@@ -339,10 +348,8 @@ class MidasV2Adapter:
 
     def estimate_depth(self, images: jnp.ndarray, scales=None) -> jnp.ndarray:
         """images: (B, H, W, 3) in [0,1] -> depth (B, H, W)."""
-        x = normalize_images(images)
-        disp = self.net.apply(
-            {"params": self.params, "batch_stats": self.batch_stats}, x
-        )
-        if scales is not None:
-            disp = disp / scales
-        return disparity_to_depth(disp)
+        variables = {"params": self.params, "batch_stats": self.batch_stats}
+        if scales is None:
+            return depth_apply(self.net, variables, images)
+        disp = self.net.apply(variables, normalize_images(images))
+        return disparity_to_depth(disp / scales)

@@ -43,10 +43,16 @@ def flow_metrics(
         valid = jnp.ones_like(epe)
     else:
         valid = valid.astype(epe.dtype)
-    n = jnp.maximum(jnp.sum(valid), 1.0)
+    # PER-IMAGE valid means (B,) — the harness aggregates them two ways to
+    # reproduce both upstream protocols: epe/Npx as the mean over images of
+    # per-image means (validate_kitti epe_list.append(epe[val].mean())),
+    # fl_all at the PIXEL level over all valid pixels (out_list
+    # concatenation). An all-invalid image counts as 0 here where upstream
+    # would propagate NaN.
+    n = jnp.maximum(jnp.sum(valid, axis=(1, 2)), 1.0)
 
     def vmean(x):
-        return jnp.sum(x * valid) / n
+        return jnp.sum(x * valid, axis=(1, 2)) / n
 
     out = {
         "epe": vmean(epe),
@@ -56,10 +62,7 @@ def flow_metrics(
     }
     outlier = (epe > 3.0) & (epe / jnp.maximum(mag, 1e-9) > 0.05)
     out["fl_all"] = vmean(outlier.astype(epe.dtype))
-    # valid-pixel count, so aggregation across batches can reproduce the
-    # upstream PIXEL-level averages (samples with differing valid counts —
-    # e.g. KITTI flow_occ — must not be weighted by sample count)
-    out["n"] = jnp.sum(valid)
+    out["n"] = jnp.sum(valid, axis=(1, 2))
     return out
 
 
@@ -98,14 +101,24 @@ def evaluate_pairs(
     """Evaluate a stream of (im1, im2, flow_gt, valid|None) samples.
 
     Images float [0, 255] HWC; accumulates metrics over batches at a fixed
-    resolution (one compile per distinct shape)."""
+    resolution (one compile per distinct shape).
+
+    Aggregation matches the upstream protocols exactly
+    (reference raft/evaluate.py): epe/1px/3px/5px are the mean over IMAGES
+    of per-image valid means (validate_kitti averages epe_list of
+    per-image means; for Sintel every image has the same pixel count so
+    this equals the pixel-level mean of the concatenated epe_all), while
+    fl_all is PIXEL-level over all valid pixels (out_list concatenation
+    — images with more valid pixels weigh more)."""
     metrics_fn = jax.jit(flow_metrics)
-    sums: Dict[str, float] = {}
-    count = 0
+    img_sums: Dict[str, float] = {}
+    images = 0
+    fl_px_sum = 0.0
+    px_count = 0.0
     buf: List = []
 
     def flush():
-        nonlocal count
+        nonlocal images, fl_px_sum, px_count
         if not buf:
             return
         im1 = jnp.asarray(np.stack([b[0] for b in buf]), jnp.float32)
@@ -116,10 +129,15 @@ def evaluate_pairs(
             valid = jnp.asarray(np.stack([b[3] for b in buf]), jnp.float32)
         pred = flow_fn(im1, im2)
         m = metrics_fn(pred, gt, valid)
-        n = float(m.pop("n"))
+        n = np.asarray(m.pop("n"), np.float64)
+        fl = np.asarray(m.pop("fl_all"), np.float64)
+        fl_px_sum += float(np.sum(fl * n))
+        px_count += float(np.sum(n))
         for k, v in m.items():
-            sums[k] = sums.get(k, 0.0) + float(v) * n
-        count += n
+            img_sums[k] = img_sums.get(k, 0.0) + float(
+                np.sum(np.asarray(v, np.float64))
+            )
+        images += len(buf)
         buf.clear()
 
     for sample in pairs:
@@ -127,9 +145,11 @@ def evaluate_pairs(
         if len(buf) == batch:
             flush()
     flush()
-    if count == 0:
+    if images == 0:
         return {}
-    return {k: v / count for k, v in sums.items()}
+    out = {k: v / images for k, v in img_sums.items()}
+    out["fl_all"] = fl_px_sum / max(px_count, 1.0)
+    return out
 
 
 # -- dataset readers (standard layouts; skipped when absent) -----------------

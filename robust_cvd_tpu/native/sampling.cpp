@@ -45,9 +45,17 @@ inline void radix_order_desc(
   for (int64_t i = 0; i < n; ++i) {
     uint32_t b;
     std::memcpy(&b, keys + i, 4);
+    // np.argsort semantics the transform must reproduce exactly:
+    //  - -0.0 compares equal to +0.0 (tie -> original order), so
+    //    canonicalize the sign of zero before the bit trick;
+    //  - NaN sorts LAST in numpy's ascending sort of -keys, i.e. last
+    //    in this descending order (any NaN payload/sign).
+    if (b == 0x80000000u) b = 0;  // -0.0 == +0.0
+    const bool is_nan =
+        (b & 0x7F800000u) == 0x7F800000u && (b & 0x007FFFFFu) != 0;
     // monotone float->uint transform, then invert for descending
     const uint32_t asc = (b & 0x80000000u) ? ~b : (b | 0x80000000u);
-    k[i] = ~asc;
+    k[i] = is_nan ? 0xFFFFFFFFu : ~asc;
     order[i] = static_cast<uint32_t>(i);
   }
   for (int shift = 0; shift < 32; shift += 8) {

@@ -33,12 +33,11 @@ def compute_initial_depth(
         # Batch-parallel over the mesh (reference wraps MiDaS in
         # DataParallel, monodepth/midas_v2_model.py:35-37): the whole clip
         # as ONE SPMD program, frame axis sharded over ICI.
-        from ..models.midas import disparity_to_depth, normalize_images
+        from ..models.midas import depth_apply
         from ..parallel import mesh as pmesh
 
         def apply_fn(variables, x):
-            disp = adapter.net.apply(variables, normalize_images(x))
-            return disparity_to_depth(disp)
+            return depth_apply(adapter.net, variables, x)
 
         depth = np.asarray(
             pmesh.infer_data_parallel(

@@ -403,6 +403,7 @@ class FlowStage:
             if not os.path.exists(mask_path):
                 missing.append(key)
         if not missing:
+            self._dev_flows.clear()
             return
         colors_dev = jnp.asarray(down)
 
@@ -471,6 +472,10 @@ class FlowStage:
             for k, (a, b) in enumerate(chunk):
                 self.store.save_flow_mask(a, b, m01[k])
                 self.store.save_flow_mask(b, a, m10[k])
+        # the mask stage is the cache's only consumer; release the
+        # device-resident flows (572 pairs x 224x384x2 f32 ~ 200 MB HBM
+        # that would otherwise sit through every fine-tune epoch)
+        self._dev_flows.clear()
 
     def visualize_flow(self, index_pairs, warp: bool = True):
         """Write vis_flow/frame_%06d_%06d.png (colors + flow wheel, original

@@ -128,10 +128,14 @@ class VideoStage:
         if pts is None or len(pts) != n:
             import logging
 
+            reason = (
+                "no demuxer available (need PyAV)" if pts is None
+                else f"packet count {len(pts)} != decoded frame count {n}"
+            )
             logging.getLogger(__name__).warning(
-                "no container pts available for %s (need PyAV); "
+                "container pts unusable for %s (%s); "
                 "synthesizing 30 fps timestamps — variable-frame-rate "
-                "inputs will carry wrong pts", self.video_file,
+                "inputs will carry wrong pts", self.video_file, reason,
             )
             pts = [i / 30.0 for i in range(n)]
         save_frames_txt(frames_txt, w, h, pts)

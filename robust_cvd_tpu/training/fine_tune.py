@@ -554,6 +554,15 @@ class FineTuner:
                 last_parts = {k: v[-1] for k, v in parts_s.items()}
                 total_iters += S * B
             if S * B < P:
+                # Trailing partial batch (reference DataLoader
+                # drop_last=False). On a mesh this one step per epoch runs
+                # REPLICATED (each device computes the full remainder):
+                # exact reference semantics — sharding it would need
+                # zero-weight padding, which perturbs the BatchNorm batch
+                # statistics. Cost: one step/epoch at remainder-sized
+                # per-device batch (up to B-1 pairs); if that ever OOMs at
+                # extreme resolutions, the options are drop_last or
+                # weighted padding.
                 ids = jnp.asarray(order[S * B :], jnp.int32)
                 (self.params, self.batch_stats, self.opt_state, loss, parts
                  ) = self.step_fn(
@@ -900,15 +909,14 @@ class FineTuner:
         sharded over the data axis (the DataParallel equivalent,
         monodepth/midas_v2_model.py:35-37) — otherwise every device would
         redundantly re-infer the whole clip at each refresh."""
-        from ..models.midas import disparity_to_depth, normalize_images
+        from ..models.midas import depth_apply
 
         if self.mesh is not None:
             from ..parallel import mesh as pmesh
 
             if getattr(self, "_infer_dp", None) is None:
                 def apply_fn(v, x):
-                    disp = self.adapter.net.apply(v, normalize_images(x))
-                    return disparity_to_depth(disp)
+                    return depth_apply(self.adapter.net, v, x)
 
                 self._infer_dp = pmesh.data_parallel_fn(apply_fn, self.mesh)
             N = int(self.clip.images.shape[0])
@@ -924,11 +932,11 @@ class FineTuner:
             # built once: a fresh closure per call would retrace every time
             @jax.jit
             def fwd(params, batch_stats, x):
-                disp = self.adapter.net.apply(
+                return depth_apply(
+                    self.adapter.net,
                     {"params": params, "batch_stats": batch_stats},
-                    normalize_images(x),
+                    x,
                 )
-                return disparity_to_depth(disp)
 
             self._infer_fwd = fwd
         fwd = self._infer_fwd

@@ -127,8 +127,15 @@ def test_fused_native_pair_builder_matches_numpy():
     corner = rng.uniform(-0.2, 1, (h, w)).astype(np.float32)
     corner[(corner > 0.5) & (corner < 0.6)] = 0.55
     corner[0, :4] = 0.0
+    # signed zeros are a TIE under np.argsort (IEEE -0.0 == +0.0: original
+    # order kept) and NaN sorts LAST — the native radix transform must
+    # reproduce both, not just ordinary sign handling
+    corner[1, :6] = np.array([0.0, -0.0, 0.0, -0.0, -0.0, 0.0], np.float32)
+    corner[2, :2] = np.nan
     flow = rng.uniform(-6, 6, (h, w, 2)).astype(np.float32)
     mask = rng.uniform(0, 1, (h, w)) > 0.3
+    mask[1, :6] = True
+    mask[2, :2] = True
     a = C.build_pair_constraints(corner, flow, mask, 0.75, 5, use_native=True)
     b = C.build_pair_constraints(corner, flow, mask, 0.75, 5, use_native=False)
     np.testing.assert_array_equal(a.loc0, b.loc0)

@@ -12,11 +12,11 @@ def test_flow_metrics_exact():
     pred = gt.copy()
     pred[0, :4] += 2.0  # half the pixels have EPE sqrt(8) ~ 2.83
     m = E.flow_metrics(jnp.asarray(pred), jnp.asarray(gt))
-    np.testing.assert_allclose(float(m["epe"]), np.sqrt(8.0) / 2, rtol=1e-5)
-    np.testing.assert_allclose(float(m["1px"]), 0.5, rtol=1e-6)
-    np.testing.assert_allclose(float(m["3px"]), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(float(m["epe"][0]), np.sqrt(8.0) / 2, rtol=1e-5)
+    np.testing.assert_allclose(float(m["1px"][0]), 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(m["3px"][0]), 1.0, rtol=1e-6)
     # outliers: epe 2.83 < 3 -> no outliers
-    np.testing.assert_allclose(float(m["fl_all"]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(m["fl_all"][0]), 0.0, atol=1e-6)
 
 
 def test_flow_metrics_valid_mask():
@@ -26,7 +26,7 @@ def test_flow_metrics_valid_mask():
     valid = np.ones((1, 4, 4), np.float32)
     valid[0, 0] = 0.0  # ... masked out
     m = E.flow_metrics(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(valid))
-    np.testing.assert_allclose(float(m["epe"]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(m["epe"][0]), 0.0, atol=1e-6)
 
 
 def test_flo_roundtrip(tmp_path):
@@ -100,9 +100,10 @@ def test_make_flow_fn_tiny_raft():
 
 
 def test_evaluate_pairs_pixel_level_aggregation():
-    """Samples with different valid-pixel counts must be aggregated at the
-    PIXEL level (upstream evaluate.py sums epe over all valid pixels), not
-    weighted per sample."""
+    """Upstream-exact aggregation over samples with different valid-pixel
+    counts (reference raft/evaluate.py validate_kitti): epe is the mean
+    over IMAGES of per-image means, fl_all is PIXEL-level over all valid
+    pixels."""
     from robust_cvd_tpu.models.raft_eval import evaluate_pairs
 
     H, W = 8, 8
@@ -134,3 +135,6 @@ def test_evaluate_pairs_pixel_level_aggregation():
     )
     # 64 valid good pixels + 1 valid outlier pixel -> 1/65, not (0+1)/2
     np.testing.assert_allclose(out["fl_all"], 1.0 / 65.0, atol=1e-6)
+    # epe is IMAGE-level (upstream epe_list of per-image means): sample A
+    # epe 0, sample B per-image epe 10 -> (0 + 10)/2, not 10/65
+    np.testing.assert_allclose(out["epe"], 5.0, atol=1e-6)

@@ -334,3 +334,54 @@ def test_ransac_dynamic_constraints_pipeline(tmp_path):
         assert len(pose.pairs[k].is_static) == len(pose.pairs[k].loc0)
     params = pose.optimize_poses()
     assert params is not None
+
+
+def test_pipeline_rerun_skips_completed_stages(clip_dir):
+    """Resume contract (reference process.py stage caching: every stage
+    checks its outputs on disk before computing): re-running the pipeline
+    on a completed result tree must NOT recompute frames, initial depth,
+    flow, masks, or constraints — only the fine-tune/pose stages rerun
+    (the reference retrains on every invocation too). Asserted via mtimes."""
+    base = clip_dir
+    stable = [
+        pjoin(base, "color_down", "frame_000000.raw"),
+        pjoin(base, "depth_tiny", "depth", "frame_000000.raw"),
+        pjoin(base, "flow", "flow_000000_000001.raw"),
+        pjoin(base, "flow_mask", "mask_000000_000001.png"),
+        pjoin(base, "dynamic_mask", "frame_000000.png"),
+        pjoin(base, "flow_constraints.dat"),
+    ]
+    for p in stable:
+        assert os.path.exists(p), f"prior pipeline run missing {p}"
+    mtimes = {p: os.path.getmtime(p) for p in stable}
+
+    raft_model = raft.RAFT(iters=2)
+    rv = raft_model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3))
+    )
+    cfg = PipelineConfig(
+        path=base,
+        size=32,
+        align=8,
+        model_type="tiny",
+        min_mask_ratio=-1.0,
+        opt=PoseOptParams(
+            num_steps=2, ctf_long=3, ctf_short=2,
+            lm_max_outer=4, lm_cg_iters=8,
+        ),
+        ft=FineTuneParams(num_epochs=1, batch_size=2, pose_opt_freq=5),
+    )
+    import robust_cvd_tpu.pipeline.process as proc_mod
+
+    old_max, old_align = proc_mod.FLOW_MAX_SIZE, proc_mod.FLOW_ALIGN
+    proc_mod.FLOW_MAX_SIZE, proc_mod.FLOW_ALIGN = 64, 8
+    try:
+        DatasetProcessor(
+            cfg,
+            models={"depth": TinyDepthAdapter(), "flow": (raft_model, rv)},
+        ).process()
+    finally:
+        proc_mod.FLOW_MAX_SIZE, proc_mod.FLOW_ALIGN = old_max, old_align
+
+    for p in stable:
+        assert os.path.getmtime(p) == mtimes[p], f"stage recomputed {p}"

@@ -118,11 +118,14 @@ def golden_scene(
     plane_depth: float = 3.0,
     slant: Tuple[float, float] = (0.15, 0.1),
     baseline: float = 0.08,
+    yaw_per_frame: float = 0.0,
 ) -> GoldenScene:
-    """Cameras at (i*baseline, 0, 0), identity rotation, looking down -Z;
+    """Cameras at (i*baseline, 0, 0), yawed by i*yaw_per_frame about +Y
+    (identity rotation by default), looking down -Z;
     plane z_w = -(plane_depth + a x_w + b y_w). Per-pixel ray-plane
-    intersection gives exact depth; images sample the analytic texture at
-    the world hit point."""
+    intersection gives exact depth (camera-frame z distance, invariant to
+    the yaw since the ray is unit-in-z in the camera frame); images sample
+    the analytic texture at the world hit point."""
     H, W = shape
     a, b = slant
     aspect = W / H
@@ -141,26 +144,33 @@ def golden_scene(
         ],
         axis=-1,
     )
-    ext = jnp.concatenate(
+    yaw = jnp.arange(num_frames, dtype=jnp.float32) * yaw_per_frame
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    zero, one = jnp.zeros_like(yaw), jnp.ones_like(yaw)
+    rot = jnp.stack(
         [
-            jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (num_frames, 3, 3)),
-            positions[:, :, None],
+            jnp.stack([c, zero, s], -1),
+            jnp.stack([zero, one, zero], -1),
+            jnp.stack([-s, zero, c], -1),
         ],
-        axis=2,
-    )
+        axis=-2,
+    )  # (N, 3, 3) camera-to-world yaw about +Y
+    ext = jnp.concatenate([rot, positions[:, :, None]], axis=2)
 
     pix = geometry.pixel_grid(shape)
 
-    def render(cam_x, intr_i):
-        rays = geometry.pixels_to_rays(pix, intr_i)  # (H, W, 3), z = -1
-        u, v = rays[..., 0], rays[..., 1]
-        # hit: t (1 - a u - b v) = plane_depth + a cam_x
-        t = (plane_depth + a * cam_x) / jnp.maximum(1.0 - a * u - b * v, 1e-3)
-        wx = t * u + cam_x
-        wy = t * v
-        return _texture(wx, wy), t
+    def render(rot_i, pos, intr_i):
+        rays = geometry.pixels_to_rays(pix, intr_i)  # (H, W, 3) cam, z = -1
+        d = jnp.einsum("ab,hwb->hwa", rot_i, rays)  # world directions
+        # plane: z_w + plane_depth + a x_w + b y_w = 0, solve along p + t d
+        denom = d[..., 2] + a * d[..., 0] + b * d[..., 1]
+        denom = jnp.where(jnp.abs(denom) < 1e-3,
+                          jnp.where(denom < 0, -1e-3, 1e-3), denom)
+        t = -(pos[2] + plane_depth + a * pos[0] + b * pos[1]) / denom
+        hit = pos[None, None] + t[..., None] * d
+        return _texture(hit[..., 0], hit[..., 1]), t
 
-    images, depth = jax.vmap(render)(positions[:, 0], intr)
+    images, depth = jax.vmap(render)(rot, positions, intr)
     pairs = [(i, i + 1) for i in range(num_frames - 1)] + [
         (i, i + 2) for i in range(num_frames - 2)
     ]

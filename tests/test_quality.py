@@ -46,11 +46,42 @@ def test_valid_ratio_sane(scene):
     assert 0.8 < float(res.valid_ratio) <= 1.0
 
 
-def test_solver_recovers_photo_consistency(scene):
+def test_rotating_scene_ground_truth_near_zero():
+    """The yawed-camera golden scene (rotation + translation) must also
+    score near-zero with GT depth + GT cameras — and visibly worse when
+    the camera rotations are perturbed (cameras matter, not just depth)."""
+    sc = quality.golden_scene(num_frames=6, shape=(48, 64), yaw_per_frame=0.02)
+    gt = _metric(sc, sc.depth)
+    assert gt < 5e-3, gt
+
+    # perturb each camera's yaw INDEPENDENTLY (a shared extra rotation
+    # nearly cancels in the pairwise relative poses — conjugation is a
+    # second-order effect)
+    N = int(sc.extrinsics.shape[0])
+    dys = np.random.default_rng(3).uniform(0.015, 0.03, N) * np.where(
+        np.arange(N) % 2 == 0, 1.0, -1.0
+    )
+    c, s = np.cos(dys), np.sin(dys)
+    dR = np.zeros((N, 3, 3), np.float32)
+    dR[:, 0, 0] = c; dR[:, 0, 2] = s
+    dR[:, 1, 1] = 1.0
+    dR[:, 2, 0] = -s; dR[:, 2, 2] = c
+    R = jnp.einsum("nab,nbc->nac", sc.extrinsics[:, :, :3], jnp.asarray(dR))
+    bad_ext = jnp.concatenate([R, sc.extrinsics[:, :, 3:]], axis=2)
+    bad = _metric(sc, sc.depth, ext=bad_ext)
+    assert bad > 5 * max(gt, 1e-4), (gt, bad)
+
+
+@pytest.mark.parametrize("yaw", [0.0, 0.02])
+def test_solver_recovers_photo_consistency(yaw):
     """Corrupt per-frame depth scales; the solver (normalize + CTF joint
     optimization from flow constraints) must bring warp photo-consistency
     most of the way back to the ground-truth level — the geometric core's
-    end-to-end acceptance test."""
+    end-to-end acceptance test. Parametrized over a pure-translation rig
+    and a yawed (rotating) rig: the second requires the solver to recover
+    camera ROTATIONS from the constraints, not just baselines."""
+    scene = quality.golden_scene(num_frames=6, shape=(48, 64),
+                                 yaw_per_frame=yaw)
     from robust_cvd_tpu.config import PoseOptParams
     from robust_cvd_tpu.solver import pose_opt
     from robust_cvd_tpu.solver import residuals as R

@@ -34,6 +34,12 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devices[:n]), axis_names=(axis,))
 
 
+def pipeline_mesh(axis: str = "data") -> Optional[Mesh]:
+    """The pipeline's auto-SPMD rule in one place: a data mesh over all
+    devices when more than one exists, else None (single-device paths)."""
+    return make_mesh(axis=axis) if len(jax.devices()) > 1 else None
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -76,7 +82,7 @@ def shard_pose_inputs(inputs, mesh: Mesh, axis: str = "data"):
     """
     import jax.numpy as jnp
 
-    n = int(np.prod(mesh.devices.shape))
+    n = mesh.size
     d = inputs.data
     P = int(d.pair.shape[0])
     Pp = -(-P // n) * n
@@ -146,7 +152,7 @@ def infer_data_parallel(apply_fn, variables, x, mesh: Optional[Mesh] = None,
     import jax.numpy as jnp
 
     mesh = mesh or make_mesh()
-    n = int(np.prod(mesh.devices.shape))
+    n = mesh.size
     leaves = jax.tree.leaves(x)
     B = int(leaves[0].shape[0])
     Bp = -(-B // n) * n

@@ -29,12 +29,14 @@ def compute_initial_depth(
     images = store.load_color_down()
     N = images.shape[0]
 
-    if len(jax.devices()) > 1:
+    from ..parallel import mesh as pmesh
+
+    mesh = pmesh.pipeline_mesh()
+    if mesh is not None:
         # Batch-parallel over the mesh (reference wraps MiDaS in
         # DataParallel, monodepth/midas_v2_model.py:35-37): the whole clip
         # as ONE SPMD program, frame axis sharded over ICI.
         from ..models.midas import depth_apply
-        from ..parallel import mesh as pmesh
 
         def apply_fn(variables, x):
             return depth_apply(adapter.net, variables, x)
@@ -44,6 +46,7 @@ def compute_initial_depth(
                 apply_fn,
                 {"params": adapter.params, "batch_stats": adapter.batch_stats},
                 jnp.asarray(images),
+                mesh,
             )
         )
         store.save_depth_stream(stream, depth)

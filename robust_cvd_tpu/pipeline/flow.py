@@ -308,12 +308,11 @@ class FlowStage:
         # TPU-native form of the reference's DataParallel flow net
         # (optical_flow_homography.py:252); chunks grow by the device
         # count, mirroring the reference's num-GPU batch scaling.
-        mesh = None
-        if len(jax.devices()) > 1:
-            from ..parallel import mesh as pmesh
+        from ..parallel import mesh as pmesh
 
-            mesh = pmesh.make_mesh()
-            n_dev = int(np.prod(mesh.devices.shape))
+        mesh = pmesh.pipeline_mesh()
+        if mesh is not None:
+            n_dev = mesh.size
             use_h = self.homography
 
             def chunk_fn(variables, ims):
@@ -410,12 +409,11 @@ class FlowStage:
         # Mesh path: the per-chunk mask program shards its pair axis over
         # the data axis (colors replicated — they're gathered by frame
         # index inside the program), chunks grow by the device count.
-        mesh = None
-        if len(jax.devices()) > 1:
-            from ..parallel import mesh as pmesh
+        from ..parallel import mesh as pmesh
 
-            mesh = pmesh.make_mesh()
-            n_dev = int(np.prod(mesh.devices.shape))
+        mesh = pmesh.pipeline_mesh()
+        if mesh is not None:
+            n_dev = mesh.size
             ft, ct = float(flow_thresh), float(color_thresh)
 
             def mask_fn(colors, x):
@@ -442,10 +440,9 @@ class FlowStage:
         for key in missing:
             for d in (key, key[::-1]):
                 if d not in self._dev_flows:
-                    f = self.store.load_flow(*d)
-                    self._dev_flows[d] = (
-                        jax.device_put(f, flow_place)
-                        if flow_place is not None else jax.device_put(f)
+                    # flow_place None = default single-device placement
+                    self._dev_flows[d] = jax.device_put(
+                        self.store.load_flow(*d), flow_place
                     )
         B = self.batch_size
         if mesh is not None:

@@ -177,23 +177,22 @@ def compute_dynamic_masks_rcnn(
 
     out_dir = pjoin(store.base_dir, "dynamic_mask")
     os.makedirs(out_dir, exist_ok=True)
-    wrote_any = False
     missing = [
         i for i in range(n)
         if not os.path.exists(pjoin(out_dir, frame_name(i, ".png")))
     ]
-    wrote_any = len(missing) < n
+    wrote_any = len(missing) < n  # frames already on disk count
 
-    if len(jax.devices()) > 1 and len(missing) >= len(jax.devices()):
+    from ..parallel import mesh as pmesh
+
+    mesh = pmesh.pipeline_mesh()
+    if mesh is not None and len(missing) >= mesh.size:
         # Frame axis sharded over the mesh (the reference parallelizes
         # detectron2 inference across GPUs, dynamic_mask_generation.py
         # launches one worker per GPU); one frame per device per chunk
         # bounds the vmapped activation memory. Clips with fewer missing
         # frames than devices use the single-device loop (pad waste).
-        from ..parallel import mesh as pmesh
-
-        mesh = pmesh.make_mesh()
-        n_dev = int(np.prod(mesh.devices.shape))
+        n_dev = mesh.size
 
         def apply_fn(variables, imgs):
             return jax.vmap(lambda im: frame_body(variables, im))(imgs)

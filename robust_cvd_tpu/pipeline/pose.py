@@ -374,14 +374,13 @@ class PoseOptimizer:
             triplets=triplets,
             dynamic_mask=dyn,
         )
-        import jax
+        from ..parallel import mesh as pmesh
 
-        if len(jax.devices()) > 1:
+        mesh = pmesh.pipeline_mesh()
+        if mesh is not None:
             # SPMD solve: constraint pair axis sharded over the mesh,
             # parameters replicated (parallel/mesh.py shard_pose_inputs)
-            from ..parallel import mesh as pmesh
-
-            inputs = pmesh.shard_pose_inputs(inputs, pmesh.make_mesh())
+            inputs = pmesh.shard_pose_inputs(inputs, mesh)
         return inputs
 
     # -- optimization (reference pose_optimization.py:177-240) ---------------

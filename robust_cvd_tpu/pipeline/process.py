@@ -175,18 +175,14 @@ class DatasetProcessor:
         ft_dir = pjoin(self.out_dir(store.num_frames), make_tag(cfg))
         os.makedirs(ft_dir, exist_ok=True)
 
-        import jax
+        # Mesh-data-parallel fine-tuning (the reference's multi-GPU
+        # DataParallel path, params.py:260-262): batch axis sharded over
+        # ICI, model replicated, gradient psum. None on a single device.
+        from ..parallel import mesh as pmesh
 
-        mesh = None
-        if len(jax.devices()) > 1:
-            # Mesh-data-parallel fine-tuning (the reference's multi-GPU
-            # DataParallel path, params.py:260-262): batch axis sharded
-            # over ICI, model replicated, gradient psum.
-            from ..parallel import mesh as pmesh
-
-            mesh = pmesh.make_mesh()
         tuner = FineTuner(
-            cfg, adapter, clip, inputs, pose=pose, out_dir=ft_dir, mesh=mesh
+            cfg, adapter, clip, inputs, pose=pose, out_dir=ft_dir,
+            mesh=pmesh.pipeline_mesh(),
         )
         tuner.run()
         return tuner

@@ -415,7 +415,7 @@ class FineTuner:
         if mesh is not None:
             from ..parallel import mesh as pmesh
 
-            self.n_mesh = int(np.prod(mesh.devices.shape))
+            self.n_mesh = mesh.size
             # Placement invariant: with a mesh, every committed array lives
             # ON the mesh (replicated or data-sharded). Mixing mesh-committed
             # solver outputs with single-device clip/param tensors makes XLA

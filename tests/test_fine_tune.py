@@ -383,3 +383,82 @@ def test_fine_tuner_runs_on_mesh():
     assert all(np.isfinite(h["loss"]) for h in history)
     depth = np.asarray(tuner.infer_depth())
     assert depth.shape == clip.images.shape[:3] and np.isfinite(depth).all()
+
+
+def test_epoch_fn_mesh_matches_single_device_temporal():
+    """DP-epoch equivalence through the TEMPORAL (K=6) path: scene-flow /
+    smoothness losses gather per-anchor neighbor flows, and ClipData's
+    optional temporal fields must survive the replicated in_shardings tree
+    prefix. (The non-temporal variant is covered above.)"""
+    import dataclasses
+
+    import optax
+
+    from robust_cvd_tpu.config import LossParams
+    from robust_cvd_tpu.parallel import mesh as pmesh
+
+    N, H, W = 9, 16, 16
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 1, (N, H, W, 3)).astype(np.float32)
+    depth = np.full((N, H, W), 2.0, np.float32)
+    flow_list, flows, masks = [], {}, {}
+    for i in range(N - 1):
+        for (a, b) in ((i, i + 1), (i + 1, i)):
+            flow_list.append((a, b, 1.0))
+            flows[(a, b)] = np.zeros((H, W, 2), np.float32)
+            masks[(a, b)] = np.ones((H, W), np.float32)
+    clip = fine_tune.build_clip_data(
+        images, depth, flow_list, flows, masks, 0.2, use_temporal=True
+    )
+
+    adapter = TinyAdapter()
+    loss_opt = dataclasses.replace(
+        LossParams(),
+        lambda_smooth_disparity=0.1,
+        lambda_smooth_reprojection=1.0,
+    )
+    optimizer = optax.adam(1e-3)
+    ps = fine_tune.pose_state_from_solver(
+        SolverParams(
+            pose=jnp.zeros((N, 6)),
+            focal=jnp.full((N,), 0.5),
+            depth_grid=jnp.ones((N, 1, 1, 1)),
+            spatial_grid=jnp.zeros((N, 1, 1, 2)),
+        ),
+        (H, W),
+        aspect=W / H,
+    )
+
+    P = int(clip.pair_idx.shape[0])
+    B = 8
+    blocks = jnp.asarray(
+        np.random.default_rng(5).permutation(P)[: (P // B) * B].reshape(-1, B),
+        jnp.int32,
+    )
+    p0, bs0 = adapter.params, adapter.batch_stats
+    os0 = optimizer.init(p0)
+
+    epoch_1d = fine_tune.make_epoch_fn(adapter.net, loss_opt, optimizer, True)
+    w_p, _, _, w_losses, _ = epoch_1d(p0, bs0, os0, blocks, clip, ps, p0)
+
+    mesh = pmesh.make_mesh(8)
+    epoch_dp = fine_tune.make_epoch_fn(
+        adapter.net, loss_opt, optimizer, True, mesh=mesh
+    )
+    g_p, _, _, g_losses, _ = epoch_dp(
+        pmesh.replicate(p0, mesh),
+        pmesh.replicate(bs0, mesh),
+        pmesh.replicate(os0, mesh),
+        blocks,
+        pmesh.replicate(clip, mesh),
+        pmesh.replicate(ps, mesh),
+        pmesh.replicate(p0, mesh),
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(w_losses), np.asarray(g_losses), rtol=1e-4, atol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(w_p), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )

@@ -91,6 +91,10 @@ class PoseOptParams:
     lm_max_outer: int = 50
     lm_cg_iters: int = 64
     lm_rtol: float = 1e-6
+    # Jacobi-preconditioned CG: Hutchinson probes per outer iteration for
+    # the diag(J^T J) estimate; 0 = plain CG (default until the
+    # cg-iteration-cap retune is validated on TPU, PERF.md "Next levers")
+    lm_precond_probes: int = 0
     # Warm-start epoch re-solves from the previous solution at final grid
     # resolution instead of reset + normalize + full coarse-to-fine (the
     # reference resets every epoch; equivalence validated on the synthetic

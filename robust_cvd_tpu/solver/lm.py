@@ -52,6 +52,12 @@ class LMConfig(NamedTuple):
     # outer iterations fused into one jitted program (host syncs between
     # chunks only; a chunk stays well under the runtime watchdog)
     chunk: int = 10
+    # Jacobi-preconditioned CG: estimate diag(J^T J) with `precond_probes`
+    # Rademacher matvec probes per outer iteration and run PCG with
+    # M = diag + lam (the pose/focal/grid parameter families have wildly
+    # different curvatures, exactly the regime where Jacobi pays). 0 = off
+    # (plain CG, the default until the cap retune is validated on-TPU).
+    precond_probes: int = 0
 
 
 class LMResult(NamedTuple):
@@ -82,33 +88,77 @@ def _tmul(a, b):
     return jax.tree.map(jnp.multiply, a, b)
 
 
-def _cg(matvec: Callable, b, iters: int, rtol: float = 0.01):
-    """Conjugate gradients on pytrees with an inexact-Newton stopping rule:
-    stop when ||r|| < rtol * ||b|| (Steihaug-style forcing, the same idea as
-    Ceres' inexact step) or after `iters` iterations."""
+def _cg(matvec: Callable, b, iters: int, rtol: float = 0.01, minv=None):
+    """(Preconditioned) conjugate gradients on pytrees with an
+    inexact-Newton stopping rule: stop when ||r|| < rtol * ||b||
+    (Steihaug-style forcing, the same idea as Ceres' inexact step) or
+    after `iters` iterations. `minv` is an optional elementwise inverse
+    preconditioner pytree (M^{-1} = 1/diag); the stopping rule stays on
+    the TRUE residual norm so plain and preconditioned runs are
+    comparable. Returns (x, iterations_used)."""
     x0 = jax.tree.map(jnp.zeros_like, b)
     b2 = _tdot(b, b)
     tol2 = (rtol * rtol) * b2
 
+    def apply_minv(r):
+        return r if minv is None else _tmul(r, minv)
+
+    z0 = apply_minv(b)
+
     def cond(state):
-        _, _, _, rs, it = state
-        return jnp.logical_and(it < iters, rs > tol2)
+        _, _, _, _, r2, it = state
+        return jnp.logical_and(it < iters, r2 > tol2)
 
     def body(state):
-        x, r, p, rs, it = state
+        x, r, p, rz, _, it = state
         Ap = matvec(p)
         denom = _tdot(p, Ap)
-        alpha = jnp.where(denom > 0, rs / jnp.maximum(denom, 1e-30), 0.0)
+        alpha = jnp.where(denom > 0, rz / jnp.maximum(denom, 1e-30), 0.0)
         x = _taxpy(alpha, p, x)
         r = _taxpy(-alpha, Ap, r)
-        rs_new = _tdot(r, r)
-        beta = rs_new / jnp.maximum(rs, 1e-30)
-        p = _taxpy(beta, p, r)
-        return x, r, p, rs_new, it + 1
+        z = apply_minv(r)
+        rz_new = _tdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = _taxpy(beta, p, z)
+        return x, r, p, rz_new, _tdot(r, r), it + 1
 
-    state = (x0, b, b, b2, jnp.array(0))
-    x, *_ = jax.lax.while_loop(cond, body, state)
-    return x
+    state = (x0, b, z0, _tdot(b, z0), b2, jnp.array(0))
+    x, _, _, _, _, it = jax.lax.while_loop(cond, body, state)
+    return x, it
+
+
+def _diag_estimate(matvec: Callable, template, key, probes: int):
+    """Hutchinson estimate of the matvec operator's diagonal with
+    Rademacher probes: diag ≈ E[(A z) ⊙ z], z ∈ {±1}. Clipped to a
+    positive floor so the inverse preconditioner stays well-defined for
+    parameters the problem barely touches."""
+    leaves, treedef = jax.tree.flatten(template)
+    keys = jax.random.split(key, probes)
+
+    def one(k):
+        ks = jax.random.split(k, len(leaves))
+        z = jax.tree.unflatten(
+            treedef,
+            [
+                jax.random.rademacher(kk, l.shape, l.dtype)
+                for kk, l in zip(ks, leaves)
+            ],
+        )
+        return _tmul(matvec(z), z)
+
+    acc = one(keys[0])
+    for k in keys[1:]:
+        acc = _taxpy(1.0, one(k), acc)
+    d = _tscale(1.0 / probes, acc)
+    # positive floor relative to the mean diagonal magnitude
+    total = jax.tree.reduce(
+        lambda a, b: a + b, jax.tree.map(lambda x: jnp.sum(jnp.abs(x)), d), 0.0
+    )
+    count = jax.tree.reduce(
+        lambda a, b: a + b, jax.tree.map(lambda x: x.size, d), 0
+    )
+    floor = 1e-6 * total / count + 1e-30
+    return jax.tree.map(lambda x: jnp.maximum(jnp.abs(x), floor), d)
 
 
 def _one_outer_step(
@@ -146,7 +196,13 @@ def _one_outer_step(
         vm = _tmul(v, mask)
         return _taxpy(lam, v, _tmul(JT(J(vm)), mask))
 
-    dx = _cg(matvec, _tscale(-1.0, g), cfg.cg_iters)
+    minv = None
+    if cfg.precond_probes > 0:
+        d = _diag_estimate(
+            matvec, params, jax.random.PRNGKey(17), cfg.precond_probes
+        )
+        minv = jax.tree.map(lambda x: 1.0 / x, d)
+    dx, _ = _cg(matvec, _tscale(-1.0, g), cfg.cg_iters, minv=minv)
     trial = jax.tree.map(lambda p, d, m: p + d * m, params, dx, mask)
     if project_fn is not None:
         trial = project_fn(trial)

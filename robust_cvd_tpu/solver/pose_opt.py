@@ -106,6 +106,7 @@ def _lm_config(opt: PoseOptParams) -> LMConfig:
         lam_init=opt.lm_lambda_init,
         rtol=opt.lm_rtol,
         robustness=opt.robustness,
+        precond_probes=getattr(opt, "lm_precond_probes", 0),
     )
 
 

@@ -240,6 +240,44 @@ def test_constraint_cache_reused(clip_dir):
         np.testing.assert_allclose(pose2.pairs[k].loc1, pose1.pairs[k].loc1)
 
 
+def test_constraint_cache_corruption_recomputes(clip_dir):
+    """A truncated/garbled flow_constraints.dat must be IGNORED (recompute
+    + rewrite), not crash the pipeline (pipeline/pose.py fallback;
+    reference would abort on a bad magic)."""
+    from robust_cvd_tpu.config import PipelineConfig, PoseOptParams
+    from robust_cvd_tpu.io.store import VideoStore
+    from robust_cvd_tpu.pipeline.pose import PoseOptimizer
+
+    cache = pjoin(clip_dir, "flow_constraints.dat")
+    good = open(cache, "rb").read()
+    try:
+        # truncate mid-record
+        with open(cache, "wb") as f:
+            f.write(good[: len(good) // 2])
+        cfg = PipelineConfig(
+            path=clip_dir, opt=PoseOptParams(dynamic_constraints="None")
+        )
+        store = VideoStore.open(clip_dir)
+        pose = PoseOptimizer(cfg, store, "depth_tiny")
+        assert pose.pairs, "no constraints rebuilt after corrupted cache"
+        # the rewritten cache must round-trip again
+        from robust_cvd_tpu.io.flow_constraints_dat import (
+            load_flow_constraints_dat,
+        )
+
+        ms, cpairs, _ = load_flow_constraints_dat(cache)
+        assert ms == pose.MATCH_SEPARATION and len(cpairs) > 0
+
+        # pure garbage (bad magic) must also fall back, not raise
+        with open(cache, "wb") as f:
+            f.write(b"\x00" * 64)
+        pose3 = PoseOptimizer(cfg, store, "depth_tiny")
+        assert pose3.pairs
+    finally:
+        with open(cache, "wb") as f:
+            f.write(good)
+
+
 def test_gt_pose_stream_import(tmp_path):
     """A depth_gt stream with poses.txt is registered before the estimated
     stream and seeds the solver's initial poses

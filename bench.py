@@ -24,6 +24,7 @@ numbers (BASELINE.json published: {}).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -83,7 +84,7 @@ def make_clip_problem(num_frames=100, samples_per_pair=128, seed=0):
     return inputs, pairs
 
 
-def quality_gate(detail):
+def quality_gate(detail, tiny: bool = False):
     """Golden-scene photo-consistency: GT floor, corrupted ceiling, and the
     solver's recovery (the BASELINE quality metric)."""
     import jax
@@ -98,7 +99,9 @@ def quality_gate(detail):
     from robust_cvd_tpu.solver.residuals import ConstraintData
     from robust_cvd_tpu.solver.xforms import GridSpec
 
-    scene = quality.golden_scene(num_frames=8, shape=(96, 128))
+    scene = quality.golden_scene(
+        num_frames=6 if tiny else 8, shape=(48, 64) if tiny else (96, 128)
+    )
     N = scene.images.shape[0]
     H, W = scene.depth.shape[1:]
     aspect = W / H
@@ -143,7 +146,11 @@ def quality_gate(detail):
     med = jnp.asarray(np.median(np.asarray(corrupted).reshape(N, -1), 1).astype(np.float32))
     inputs = PoseOptInputs(data=data, median_depth=med, aspect=aspect, num_frames=N)
     opt = PoseOptParams(
-        num_steps=3, ctf_long=5, ctf_short=3, lm_max_outer=12, lm_cg_iters=24,
+        num_steps=2 if tiny else 3,
+        ctf_long=3 if tiny else 5,
+        ctf_short=2 if tiny else 3,
+        lm_max_outer=6 if tiny else 12,
+        lm_cg_iters=12 if tiny else 24,
         graduate_deformation_regularization=True,
     )
     solved = pose_opt.run(opt, inputs)
@@ -197,14 +204,21 @@ def main():
         pose_state_from_solver,
     )
 
-    NUM_FRAMES = 100
-    NUM_EPOCHS = 10
-    H, W = 224, 384
+    # BENCH_TINY=1: shrunken smoke mode so the bench CODE PATH is testable
+    # on CPU without the TPU (tests/test_bench_smoke.py). The real-scale
+    # path is untouched when the env var is absent.
+    TINY = os.environ.get("BENCH_TINY") == "1"
+    NUM_FRAMES = 8 if TINY else 100
+    NUM_EPOCHS = 1 if TINY else 10
+    H, W = (32, 64) if TINY else (224, 384)
     rng = np.random.default_rng(0)
     detail = {}
 
     # ---- stage 1: MiDaS initial depth (batched whole clip) -----------------
-    midas = MidasNet()
+    midas = (
+        MidasNet(features=16, backbone_layers=(1, 1, 1, 1)) if TINY
+        else MidasNet()
+    )
     mv = midas.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
     images = jnp.asarray(rng.uniform(0, 1, (NUM_FRAMES, H, W, 3)), jnp.float32)
     fwd = jax.jit(
@@ -226,7 +240,7 @@ def main():
 
     # ---- stage 2: homography pre-registration + RAFT flow ------------------
     inputs, pairs = make_clip_problem(NUM_FRAMES)
-    raft = raft_mod.RAFT(iters=20)
+    raft = raft_mod.RAFT(iters=2 if TINY else 20)
     rv = raft.init(
         jax.random.PRNGKey(1), jnp.zeros((1, H, W, 3)), jnp.zeros((1, H, W, 3))
     )
@@ -276,7 +290,7 @@ def main():
         dynamic_mask_from_detections,
     )
 
-    test_size, max_size = 800, 1333
+    test_size, max_size = (32, 48) if TINY else (800, 1333)
     mscale = test_size / min(H, W)
     if mscale * max(H, W) > max_size:
         mscale = max_size / max(H, W)
@@ -381,7 +395,15 @@ def main():
         shutil.rmtree(tmpd, ignore_errors=True)
 
     # ---- stage 3+4: alternating pose optimization + fine-tune epochs -------
-    opt = PoseOptParams(graduate_deformation_regularization=True)
+    opt = (
+        PoseOptParams(
+            graduate_deformation_regularization=True,
+            num_steps=2, ctf_long=3, ctf_short=2,
+            lm_max_outer=4, lm_cg_iters=8,
+        )
+        if TINY
+        else PoseOptParams(graduate_deformation_regularization=True)
+    )
 
     # training data: the FULL hierarchical2 one-way pair set (the reference's
     # VideoDataset trains over every mask-ratio-passing sampled pair,
@@ -495,7 +517,7 @@ def main():
     detail["depth_refresh_total_s"] = round(t_refresh, 4)
 
     # ---- quality gate -------------------------------------------------------
-    quality_gate(detail)
+    quality_gate(detail, tiny=TINY)
 
     e2e = (
         detail["midas_initial_depth_s"]
@@ -509,6 +531,8 @@ def main():
     )
     detail["num_frames"] = NUM_FRAMES
     detail["num_epochs"] = NUM_EPOCHS
+    if TINY:
+        detail["tiny_smoke_mode"] = True
     detail["device"] = str(jax.devices()[0])
     detail["note"] = (
         "steady-state compute, random weights; full reference schedule: "

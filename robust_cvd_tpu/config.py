@@ -95,6 +95,10 @@ class PoseOptParams:
     # the diag(J^T J) estimate; 0 = plain CG (default until the
     # cg-iteration-cap retune is validated on TPU, PERF.md "Next levers")
     lm_precond_probes: int = 0
+    # EXACT diag(J^T J) Jacobi preconditioning (residuals.py build_diag_fn,
+    # assembled from the residual structure — stronger than the Hutchinson
+    # estimate and costs ~3 extra residual evaluations per outer iteration)
+    lm_precond_exact: bool = False
     # Warm-start epoch re-solves from the previous solution at final grid
     # resolution instead of reset + normalize + full coarse-to-fine (the
     # reference resets every epoch; equivalence validated on the synthetic

@@ -162,7 +162,8 @@ def _diag_estimate(matvec: Callable, template, key, probes: int):
 
 
 def _one_outer_step(
-    weighted_residual_fn, robust_residual_fn, project_fn, cfg, params, lam, mask, aux
+    weighted_residual_fn, robust_residual_fn, project_fn, cfg, params, lam,
+    mask, aux, diag_fn=None,
 ):
     """One LM outer iteration: frozen IRLS weights, CG on the damped normal
     equations, trial step with accept/reject and lambda update."""
@@ -197,7 +198,15 @@ def _one_outer_step(
         return _taxpy(lam, v, _tmul(JT(J(vm)), mask))
 
     minv = None
-    if cfg.precond_probes > 0:
+    if diag_fn is not None:
+        # exact diag(J^T J) from the residual structure (residuals.py
+        # build_diag_fn); masked params contribute only the damping term,
+        # matching matvec's lam*v behavior there.
+        d = diag_fn(params, w, aux)
+        minv = jax.tree.map(
+            lambda dd, m: 1.0 / (dd * m + lam), d, mask
+        )
+    elif cfg.precond_probes > 0:
         d = _diag_estimate(
             matvec, params, jax.random.PRNGKey(17), cfg.precond_probes
         )
@@ -227,6 +236,7 @@ def _one_outer_step(
         "robust_residual_fn",
         "project_fn",
         "cfg",
+        "diag_fn",
     ),
 )
 def _lm_outer_chunk(
@@ -238,6 +248,7 @@ def _lm_outer_chunk(
     lam,
     mask,
     aux,
+    diag_fn=None,
 ):
     """`cfg.chunk` LM outer iterations fused into one program, with the
     convergence bookkeeping carried on-device (host syncs between chunks)."""
@@ -246,7 +257,7 @@ def _lm_outer_chunk(
         params, lam, rejects, done, cost = state
         params, lam, cost, accept, rel = _one_outer_step(
             weighted_residual_fn, robust_residual_fn, project_fn, cfg,
-            params, lam, mask, aux,
+            params, lam, mask, aux, diag_fn,
         )
         converged = jnp.logical_and(accept, rel < cfg.rtol)
         rejects = jnp.where(accept, 0, rejects + 1)
@@ -268,6 +279,7 @@ def solve(
     cfg: LMConfig,
     aux=None,
     project_fn: Callable | None = None,
+    diag_fn: Callable | None = None,
 ) -> LMResult:
     """Minimize 0.5 * || weighted_residual_fn(params, irls_w, aux) ||^2.
 
@@ -293,7 +305,7 @@ def solve(
     for c in range(chunks):
         params, lam, _rejects, done, cost = _lm_outer_chunk(
             weighted_residual_fn, robust_residual_fn, project_fn, cfg,
-            params, lam, mask, aux,
+            params, lam, mask, aux, diag_fn,
         )
         it = (c + 1) * cfg.chunk
         if bool(done):

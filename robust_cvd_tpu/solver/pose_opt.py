@@ -153,6 +153,17 @@ def _stage_res_fn(
 
 
 @lru_cache(maxsize=None)
+def _stage_diag_fn(
+    cfg: SceneConfig, opt: PoseOptParams, deform_w: float,
+    use_triplets: bool, use_adaptive: bool = False,
+):
+    return residuals.build_diag_fn(
+        cfg, opt, depth_deform_weight=deform_w,
+        use_triplets=use_triplets, use_adaptive=use_adaptive,
+    )
+
+
+@lru_cache(maxsize=None)
 def _robust_fn(cfg: SceneConfig):
     def robust(p: SolverParams, aux: StageAux):
         return residuals.static_scene_residuals(p, cfg, aux.data, aux.taps)
@@ -275,6 +286,11 @@ def _solve_step(
 
     res_fn = _stage_res_fn(cfg, opt, depth_deform_weight, use_smooth, use_adaptive)
     robust_fn = _robust_fn(cfg)
+    diag_fn = (
+        _stage_diag_fn(cfg, opt, depth_deform_weight, use_smooth, use_adaptive)
+        if getattr(opt, "lm_precond_exact", False)
+        else None
+    )
 
     fix_spatial = opt.fix_spatial_transforms or (
         params.spatial_grid.shape[1] == 1 and params.spatial_grid.shape[2] == 1
@@ -294,6 +310,7 @@ def _solve_step(
         mask,
         _lm_config(opt),
         aux=_aux(opt, inputs, use_smooth, cfg=cfg),
+        diag_fn=diag_fn,
     )
     return out.params
 

@@ -520,3 +520,197 @@ def cauchy_irls_weight(r_static: jnp.ndarray, robustness: float) -> jnp.ndarray:
     a2 = robustness * robustness
     s = jnp.sum(r_static * r_static, axis=-1)
     return 1.0 / jnp.sqrt(1.0 + s / a2)
+
+
+# ---------------------------------------------------------------------------
+# Exact diag(J^T J) for Jacobi preconditioning (solver/lm.py).
+# ---------------------------------------------------------------------------
+
+
+def build_diag_fn(
+    cfg: SceneConfig,
+    opt: PoseOptParams,
+    depth_deform_weight: float,
+    use_triplets: bool = False,
+    use_adaptive: bool = False,
+):
+    """Exact diagonal of the Gauss-Newton matrix J^T J for the stage built
+    by `build_residual_fn` with the same arguments.
+
+    diag(J^T J)_k = sum over scalar residuals r_s of (w_s dr_s/dx_k)^2.
+    Every family's contribution is computed by autodiff of the TRUE
+    residual function on a per-sample / per-frame mini-problem (no
+    hand-derived Jacobians to drift), exploiting that constraints couple
+    only their own pair's parameters and that grid handles enter through
+    dense tap contractions. Triplet smoothness residuals are not included
+    (they only under-estimate the diagonal, which is safe for a
+    preconditioner); everything else matches build_residual_fn exactly —
+    validated against a materialized J^T J in tests/test_solver.py.
+
+    Returns `fn(params, irls_weight, aux) -> SolverParams-shaped pytree`
+    (requires aux.taps). Callers add the LM damping lambda themselves.
+    """
+
+    sqrt_scale_reg = float(np.sqrt(opt.scale_regularization)) if opt.scale_regularization > 0 else 0.0
+    sqrt_focal_reg = float(np.sqrt(opt.focal_regularization)) if opt.focal_regularization > 0 else 0.0
+    sqrt_pos_reg = float(np.sqrt(opt.position_regularization)) if opt.position_regularization > 0 else 0.0
+
+    def fn(params: SolverParams, irls_weight: jnp.ndarray, aux: StageAux):
+        assert aux.taps is not None, "exact diag needs dense taps"
+        N = params.pose.shape[0]
+        data = aux.data
+        P, C = data.loc0.shape[:2]
+        Gd = aux.taps.d0.shape[-1]
+        Gs = aux.taps.s0.shape[-1]
+        dshape = params.depth_grid.shape[1:]
+        sshape = params.spatial_grid.shape[1:]
+        has_shift = params.depth_shift is not None
+
+        d_pose = jnp.zeros_like(params.pose)
+        d_focal = jnp.zeros_like(params.focal)
+        d_dgrid = jnp.zeros((N, Gd), params.depth_grid.dtype)
+        d_sgrid = jnp.zeros((N, Gs * 2), params.spatial_grid.dtype)
+        d_shift = jnp.zeros((N, Gd), params.depth_grid.dtype) if has_shift else None
+
+        # ---- static scene: per-sample 2-frame mini-problem ----------------
+        def sample_res(pose2, focal2, drow2, srow2, shift2,
+                       loc0, d0, loc1, d1, dw0, dw1, sw0, sw1):
+            mini = SolverParams(
+                pose=pose2,
+                focal=focal2,
+                depth_grid=drow2.reshape((2,) + dshape),
+                spatial_grid=srow2.reshape((2,) + sshape),
+                depth_shift=(
+                    shift2.reshape((2,) + dshape) if has_shift else None
+                ),
+            )
+            mdata = ConstraintData(
+                pair=jnp.asarray([[0, 1]], jnp.int32),
+                loc0=loc0[None, None], loc1=loc1[None, None],
+                depth0=d0[None, None], depth1=d1[None, None],
+                weight=jnp.ones((1, 1), jnp.float32),
+            )
+            mtaps = DenseTaps(
+                d0=dw0[None, None], d1=dw1[None, None],
+                s0=sw0[None, None], s1=sw1[None, None],
+                scale_reg=None,
+            )
+            return static_scene_residuals(mini, cfg, mdata, mtaps)[0, 0]
+
+        fi, fj = data.pair[:, 0], data.pair[:, 1]
+        drows = params.depth_grid.reshape(N, -1)
+        srows = params.spatial_grid.reshape(N, -1)
+        shrows = params.depth_shift.reshape(N, -1) if has_shift else None
+
+        argnums = (0, 1, 2, 3) + ((4,) if has_shift else ())
+        jac = jax.vmap(jax.vmap(
+            jax.jacrev(sample_res, argnums=argnums),
+            in_axes=(None, None, None, None, None, 0, 0, 0, 0, 0, 0, 0, 0),
+        ), in_axes=(0, 0, 0, 0, 0 if has_shift else None, 0, 0, 0, 0, 0, 0, 0, 0))
+        pose2 = jnp.stack([params.pose[fi], params.pose[fj]], axis=1)
+        focal2 = jnp.stack([params.focal[fi], params.focal[fj]], axis=1)
+        drow2 = jnp.stack([drows[fi], drows[fj]], axis=1)
+        srow2 = jnp.stack([srows[fi], srows[fj]], axis=1)
+        shift2 = (
+            jnp.stack([shrows[fi], shrows[fj]], axis=1) if has_shift else None
+        )
+        grads = jac(
+            pose2, focal2, drow2, srow2, shift2,
+            data.loc0, data.depth0, data.loc1, data.depth1,
+            aux.taps.d0, aux.taps.d1, aux.taps.s0, aux.taps.s1,
+        )
+        w2 = jnp.square(data.weight * irls_weight)[..., None]  # (P, C, 1)
+
+        def acc_pair(g, B_extra_dims):
+            # g: (P, C, 3, 2, ...) -> per-pair summed squares (P, 2, ...)
+            sq = jnp.sum(jnp.square(g) * w2[..., None, *([None] * B_extra_dims)],
+                         axis=(1, 2))
+            return sq
+
+        g_pose = acc_pair(grads[0], 1)       # (P, 2, 6)
+        g_focal = acc_pair(grads[1], 0)      # (P, 2)
+        g_drow = acc_pair(grads[2], 1)       # (P, 2, Gd)
+        g_srow = acc_pair(grads[3], 1)       # (P, 2, Gs*2)
+        d_pose = d_pose.at[fi].add(g_pose[:, 0]).at[fj].add(g_pose[:, 1])
+        d_focal = d_focal.at[fi].add(g_focal[:, 0]).at[fj].add(g_focal[:, 1])
+        d_dgrid = d_dgrid.at[fi].add(g_drow[:, 0]).at[fj].add(g_drow[:, 1])
+        d_sgrid = d_sgrid.at[fi].add(g_srow[:, 0]).at[fj].add(g_srow[:, 1])
+        if has_shift:
+            g_sh = acc_pair(grads[4], 1)
+            d_shift = d_shift.at[fi].add(g_sh[:, 0]).at[fj].add(g_sh[:, 1])
+
+        # ---- scale regularizer: per-frame mini-problem --------------------
+        if sqrt_scale_reg > 0.0 and not opt.fix_depth_transforms:
+            W = aux.taps.scale_reg  # (N, G, Gd)
+            med = aux.median_depth
+
+            def frame_scale_res(row, shrow, Wn, medn):
+                scale = Wn @ row
+                depth = medn * scale
+                if has_shift:
+                    depth = depth + Wn @ shrow
+                return (1.0 / jnp.maximum(depth, _EPS) - 1.0) * sqrt_scale_reg
+
+            argn = (0, 1) if has_shift else (0,)
+            jr = jax.vmap(jax.jacrev(frame_scale_res, argnums=argn))(
+                drows, shrows if has_shift else drows,
+                W, jnp.broadcast_to(med[:, None], W.shape[:2]),
+            )
+            d_dgrid = d_dgrid + jnp.sum(jnp.square(jr[0]), axis=1)
+            if has_shift:
+                d_shift = d_shift + jnp.sum(jnp.square(jr[1]), axis=1)
+
+        # ---- deformation regularizers: per-frame autodiff -----------------
+        if depth_deform_weight > 0.0:
+            def frame_def(row, wmul):
+                r = xforms.depth_deform_residuals(row.reshape(dshape))
+                return r * wmul
+
+            wmul = (
+                depth_deform_weight + aux.adaptive_weights
+                if use_adaptive else
+                jnp.full(
+                    (N,) + xforms.depth_deform_residuals(
+                        params.depth_grid[0]
+                    ).shape,
+                    depth_deform_weight,
+                )
+            )
+            jd = jax.vmap(jax.jacrev(frame_def))(drows, wmul)
+            d_dgrid = d_dgrid + jnp.sum(jnp.square(jd), axis=1)
+            if has_shift:
+                def frame_shdef(row):
+                    return xforms.shift_deform_residuals(
+                        row.reshape(dshape)
+                    ) * depth_deform_weight
+
+                js = jax.vmap(jax.jacrev(frame_shdef))(shrows)
+                d_shift = d_shift + jnp.sum(jnp.square(js), axis=1)
+
+        if opt.spatial_deformation_regularization > 0.0:
+            # residual == the handles themselves * weight -> diag is const
+            d_sgrid = d_sgrid + opt.spatial_deformation_regularization ** 2
+
+        # ---- focal / position regularizers --------------------------------
+        if sqrt_focal_reg > 0.0 and cfg.intr_opt != "Fixed":
+            d_focal = d_focal + sqrt_focal_reg ** 2
+
+        if sqrt_pos_reg > 0.0:
+            jp = jax.jacrev(
+                lambda pose: position_reg_residuals(
+                    params._replace(pose=pose)
+                ) * sqrt_pos_reg
+            )(params.pose)  # (N-2, 3, N, 6)
+            d_pose = d_pose + jnp.sum(jnp.square(jp), axis=(0, 1))
+
+        return SolverParams(
+            pose=d_pose,
+            focal=d_focal,
+            depth_grid=d_dgrid.reshape(params.depth_grid.shape),
+            spatial_grid=d_sgrid.reshape(params.spatial_grid.shape),
+            depth_shift=(
+                d_shift.reshape(params.depth_shift.shape) if has_shift else None
+            ),
+        )
+
+    return fn

@@ -97,3 +97,21 @@ for lam in (1e-3, 1e-1):
                        minv=jax.tree.map(lambda x: 1.0 / x, d))
     print(f"lam={lam:g}: plain CG iters={int(it_plain)}  "
           f"Jacobi-PCG iters={int(it_pcg)} (+8 probe matvecs)")
+
+# exact analytic diagonal (residuals.build_diag_fn — landed after the
+# Hutchinson measurement above)
+from robust_cvd_tpu.solver.residuals import build_diag_fn
+
+diag_fn = build_diag_fn(cfg, opt, opt.deformation_regularization_initial,
+                        False, False)
+d_exact = diag_fn(params, w, aux)
+for lam in (1e-3, 1e-1):
+    def matvec(v, lam=lam):
+        vm = lm._tmul(v, mask)
+        Jv = jax.jvp(res_w, (params,), (vm,))[1]
+        return lm._taxpy(lam, v, lm._tmul(vjp_fn(Jv)[0], mask))
+
+    b = lm._tscale(-1.0, g)
+    minv = jax.tree.map(lambda dd, m: 1.0 / (dd * m + lam), d_exact, mask)
+    _, it_exact = lm._cg(matvec, b, iters=400, rtol=1e-2, minv=minv)
+    print(f"lam={lam:g}: EXACT-diag Jacobi-PCG iters={int(it_exact)}")

@@ -105,9 +105,11 @@ class PoseOptParams:
     # golden scene, tests/test_pose_opt.py).
     warm_start: bool = True
     # warm refinement solves need far fewer iterations than cold CTF stages
-    # (measured 2.3x faster at equal convergence on the synthetic scene)
+    # (measured 2.3x faster at equal convergence on the synthetic scene;
+    # cg 16 scores identical photo-consistency recovery to 32 on the
+    # drift-and-resolve harness, tools/warm_cap_sweep.py — cg 8 degrades)
     lm_warm_max_outer: int = 10
-    lm_warm_cg_iters: int = 32
+    lm_warm_cg_iters: int = 16
 
 
 @dataclass(frozen=True)

@@ -639,6 +639,65 @@ def build_diag_fn(
             g_sh = acc_pair(grads[4], 1)
             d_shift = d_shift.at[fi].add(g_sh[:, 0]).at[fj].add(g_sh[:, 1])
 
+        # ---- scene-flow smoothness: per-sample 3-frame mini-problem -------
+        if use_triplets and aux.triplets is not None:
+            trip = aux.triplets
+
+            def trip_res(pose3, focal3, drow3, srow3, shift3, loc, depth):
+                mini = SolverParams(
+                    pose=pose3,
+                    focal=focal3,
+                    depth_grid=drow3.reshape((3,) + dshape),
+                    spatial_grid=srow3.reshape((3,) + sshape),
+                    depth_shift=(
+                        shift3.reshape((3,) + dshape) if has_shift else None
+                    ),
+                )
+                mdata = TripletData(
+                    frame=jnp.asarray([1], jnp.int32),
+                    loc=loc[None, None],
+                    depth=depth[None, None],
+                    weight=jnp.ones((1, 1), jnp.float32),
+                )
+                return smoothness_residuals(mini, cfg, mdata)[0, 0]  # (3,)
+
+            f3 = jnp.stack(
+                [trip.frame - 1, trip.frame, trip.frame + 1], axis=1
+            )  # (T, 3)
+            tjac = jax.vmap(jax.vmap(
+                jax.jacrev(trip_res, argnums=argnums),
+                in_axes=(None, None, None, None, None, 0, 0),
+            ), in_axes=(0, 0, 0, 0, 0 if has_shift else None, 0, 0))
+            tgrads = tjac(
+                params.pose[f3], params.focal[f3], drows[f3], srows[f3],
+                shrows[f3] if has_shift else None,
+                trip.loc, trip.depth,
+            )
+            tw2 = trip.weight[..., None]  # (T, C, 1); residual uses sqrt(w)
+
+            def tacc(g, extra_dims):
+                # g: (T, C, 3, 3, ...) -> per-triplet summed squares
+                return jnp.sum(
+                    jnp.square(g)
+                    * tw2[..., None, *([None] * extra_dims)],
+                    axis=(1, 2),
+                )  # (T, 3, ...)
+
+            tg_pose = tacc(tgrads[0], 1)
+            tg_focal = tacc(tgrads[1], 0)
+            tg_drow = tacc(tgrads[2], 1)
+            tg_srow = tacc(tgrads[3], 1)
+            for k in range(3):
+                fk = f3[:, k]
+                d_pose = d_pose.at[fk].add(tg_pose[:, k])
+                d_focal = d_focal.at[fk].add(tg_focal[:, k])
+                d_dgrid = d_dgrid.at[fk].add(tg_drow[:, k])
+                d_sgrid = d_sgrid.at[fk].add(tg_srow[:, k])
+            if has_shift:
+                tg_sh = tacc(tgrads[4], 1)
+                for k in range(3):
+                    d_shift = d_shift.at[f3[:, k]].add(tg_sh[:, k])
+
         # ---- scale regularizer: per-frame mini-problem --------------------
         if sqrt_scale_reg > 0.0 and not opt.fix_depth_transforms:
             W = aux.taps.scale_reg  # (N, G, Gd)

@@ -542,10 +542,9 @@ def build_diag_fn(
     residual function on a per-sample / per-frame mini-problem (no
     hand-derived Jacobians to drift), exploiting that constraints couple
     only their own pair's parameters and that grid handles enter through
-    dense tap contractions. Triplet smoothness residuals are not included
-    (they only under-estimate the diagonal, which is safe for a
-    preconditioner); everything else matches build_residual_fn exactly —
-    validated against a materialized J^T J in tests/test_solver.py.
+    dense tap contractions; triplet smoothness via a three-frame
+    mini-problem. Matches build_residual_fn exactly — validated against a
+    materialized J^T J in tests/test_solver.py.
 
     Returns `fn(params, irls_weight, aux) -> SolverParams-shaped pytree`
     (requires aux.taps). Callers add the LM damping lambda themselves.

@@ -207,9 +207,14 @@ def _one_outer_step(
             lambda dd, m: 1.0 / (dd * m + lam), d, mask
         )
     elif cfg.precond_probes > 0:
-        d = _diag_estimate(
-            matvec, params, jax.random.PRNGKey(17), cfg.precond_probes
+        # decorrelate probe error across outer iterations: lam changes
+        # every accepted/rejected step, so folding its bits into the key
+        # gives fresh Rademacher probes per iteration at zero cost
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(17),
+            jax.lax.bitcast_convert_type(lam, jnp.int32),
         )
+        d = _diag_estimate(matvec, params, key, cfg.precond_probes)
         minv = jax.tree.map(lambda x: 1.0 / x, d)
     dx, _ = _cg(matvec, _tscale(-1.0, g), cfg.cg_iters, minv=minv)
     trial = jax.tree.map(lambda p, d, m: p + d * m, params, dx, mask)

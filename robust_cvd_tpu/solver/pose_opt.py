@@ -106,7 +106,7 @@ def _lm_config(opt: PoseOptParams) -> LMConfig:
         lam_init=opt.lm_lambda_init,
         rtol=opt.lm_rtol,
         robustness=opt.robustness,
-        precond_probes=getattr(opt, "lm_precond_probes", 0),
+        precond_probes=opt.lm_precond_probes,
     )
 
 
@@ -288,7 +288,7 @@ def _solve_step(
     robust_fn = _robust_fn(cfg)
     diag_fn = (
         _stage_diag_fn(cfg, opt, depth_deform_weight, use_smooth, use_adaptive)
-        if getattr(opt, "lm_precond_exact", False)
+        if opt.lm_precond_exact
         else None
     )
 

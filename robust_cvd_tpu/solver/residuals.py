@@ -527,6 +527,8 @@ def cauchy_irls_weight(r_static: jnp.ndarray, robustness: float) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+
+
 def build_diag_fn(
     cfg: SceneConfig,
     opt: PoseOptParams,
@@ -538,13 +540,18 @@ def build_diag_fn(
     by `build_residual_fn` with the same arguments.
 
     diag(J^T J)_k = sum over scalar residuals r_s of (w_s dr_s/dx_k)^2.
-    Every family's contribution is computed by autodiff of the TRUE
-    residual function on a per-sample / per-frame mini-problem (no
-    hand-derived Jacobians to drift), exploiting that constraints couple
-    only their own pair's parameters and that grid handles enter through
-    dense tap contractions; triplet smoothness via a three-frame
-    mini-problem. Matches build_residual_fn exactly — validated against a
-    materialized J^T J in tests/test_solver.py.
+    Every family's contribution comes from autodiff of the TRUE residual
+    function on a per-sample mini-problem (no hand-derived Jacobians to
+    drift). Grid handles enter each residual only through interpolated
+    SCALARS (scale/shift/warp = <taps, handles>), so the mini-problem is
+    built on one-handle grids holding the interpolated values and the
+    per-handle diagonal follows by the rank-1 chain rule:
+    (dr/dhandle_g)^2 = (dr/dscalar)^2 * tap_g^2 — contracted with the
+    squared dense taps on the MXU instead of materializing (P, C, 3, 2, G)
+    grid Jacobians (G x less memory). Shared intrinsics accumulate the
+    focal curvature on handle 0 through the same slot the residual reads.
+    Matches build_residual_fn exactly — validated against a materialized
+    J^T J in tests/test_solver.py.
 
     Returns `fn(params, irls_weight, aux) -> SolverParams-shaped pytree`
     (requires aux.taps). Callers add the LM damping lambda themselves.
@@ -553,36 +560,54 @@ def build_diag_fn(
     sqrt_scale_reg = float(np.sqrt(opt.scale_regularization)) if opt.scale_regularization > 0 else 0.0
     sqrt_focal_reg = float(np.sqrt(opt.focal_regularization)) if opt.focal_regularization > 0 else 0.0
     sqrt_pos_reg = float(np.sqrt(opt.position_regularization)) if opt.position_regularization > 0 else 0.0
+    shared_intr = cfg.intr_opt == "Shared"
 
     def fn(params: SolverParams, irls_weight: jnp.ndarray, aux: StageAux):
         assert aux.taps is not None, "exact diag needs dense taps"
         N = params.pose.shape[0]
         data = aux.data
-        P, C = data.loc0.shape[:2]
         Gd = aux.taps.d0.shape[-1]
         Gs = aux.taps.s0.shape[-1]
         dshape = params.depth_grid.shape[1:]
-        sshape = params.spatial_grid.shape[1:]
         has_shift = params.depth_shift is not None
 
         d_pose = jnp.zeros_like(params.pose)
         d_focal = jnp.zeros_like(params.focal)
         d_dgrid = jnp.zeros((N, Gd), params.depth_grid.dtype)
-        d_sgrid = jnp.zeros((N, Gs * 2), params.spatial_grid.dtype)
+        d_sgrid = jnp.zeros((N, Gs, 2), params.spatial_grid.dtype)
         d_shift = jnp.zeros((N, Gd), params.depth_grid.dtype) if has_shift else None
 
-        # ---- static scene: per-sample 2-frame mini-problem ----------------
-        def sample_res(pose2, focal2, drow2, srow2, shift2,
-                       loc0, d0, loc1, d1, dw0, dw1, sw0, sw1):
-            mini = SolverParams(
-                pose=pose2,
-                focal=focal2,
-                depth_grid=drow2.reshape((2,) + dshape),
-                spatial_grid=srow2.reshape((2,) + sshape),
+        drows = params.depth_grid.reshape(N, -1)
+        srows3 = params.spatial_grid.reshape(N, -1, 2)
+        shrows = params.depth_shift.reshape(N, -1) if has_shift else None
+        ones111 = jnp.ones((1, 1, 1), params.depth_grid.dtype)
+        argnums = (0, 1, 2, 3) + ((4,) if has_shift else ())
+
+        def mini_params(pose_k, focal_k, s_k, warp_k, shift_k, K):
+            return SolverParams(
+                pose=pose_k,
+                focal=focal_k,
+                depth_grid=s_k.reshape(K, 1, 1, 1),
+                spatial_grid=warp_k.reshape(K, 1, 1, 2),
                 depth_shift=(
-                    shift2.reshape((2,) + dshape) if has_shift else None
+                    shift_k.reshape(K, 1, 1, 1) if has_shift else None
                 ),
             )
+
+        def gather_focal(frames_k):
+            # the VALUE each mini slot must hold so _focal_xy reproduces
+            # the true focal: Shared reads mini.focal[0], so every slot
+            # carries the true shared focal and its gradient lands on
+            # slot 0 alone (the full shared derivative).
+            if shared_intr:
+                return jnp.broadcast_to(
+                    params.focal[0], frames_k.shape
+                )
+            return params.focal[frames_k]
+
+        # ---- static scene: per-sample 2-frame mini-problem ----------------
+        def pair_res(pose2, focal2, s2, warp2, shift2, loc0, d0, loc1, d1):
+            mini = mini_params(pose2, focal2, s2, warp2, shift2, 2)
             mdata = ConstraintData(
                 pair=jnp.asarray([[0, 1]], jnp.int32),
                 loc0=loc0[None, None], loc1=loc1[None, None],
@@ -590,133 +615,188 @@ def build_diag_fn(
                 weight=jnp.ones((1, 1), jnp.float32),
             )
             mtaps = DenseTaps(
-                d0=dw0[None, None], d1=dw1[None, None],
-                s0=sw0[None, None], s1=sw1[None, None],
+                d0=ones111, d1=ones111, s0=ones111, s1=ones111,
                 scale_reg=None,
             )
             return static_scene_residuals(mini, cfg, mdata, mtaps)[0, 0]
 
         fi, fj = data.pair[:, 0], data.pair[:, 1]
-        drows = params.depth_grid.reshape(N, -1)
-        srows = params.spatial_grid.reshape(N, -1)
-        shrows = params.depth_shift.reshape(N, -1) if has_shift else None
+        # interpolated scalars at the current point (what the residual sees)
+        s0 = jnp.einsum("pcg,pg->pc", aux.taps.d0, drows[fi], precision=_HI)
+        s1 = jnp.einsum("pcg,pg->pc", aux.taps.d1, drows[fj], precision=_HI)
+        w0 = jnp.einsum("pcs,psd->pcd", aux.taps.s0, srows3[fi], precision=_HI)
+        w1 = jnp.einsum("pcs,psd->pcd", aux.taps.s1, srows3[fj], precision=_HI)
+        if has_shift:
+            sh0 = jnp.einsum("pcg,pg->pc", aux.taps.d0, shrows[fi], precision=_HI)
+            sh1 = jnp.einsum("pcg,pg->pc", aux.taps.d1, shrows[fj], precision=_HI)
 
-        argnums = (0, 1, 2, 3) + ((4,) if has_shift else ())
         jac = jax.vmap(jax.vmap(
-            jax.jacrev(sample_res, argnums=argnums),
-            in_axes=(None, None, None, None, None, 0, 0, 0, 0, 0, 0, 0, 0),
-        ), in_axes=(0, 0, 0, 0, 0 if has_shift else None, 0, 0, 0, 0, 0, 0, 0, 0))
+            jax.jacrev(pair_res, argnums=argnums),
+            in_axes=(None, None, 0, 0, 0 if has_shift else None, 0, 0, 0, 0),
+        ), in_axes=(0, 0, 0, 0, 0 if has_shift else None, 0, 0, 0, 0))
         pose2 = jnp.stack([params.pose[fi], params.pose[fj]], axis=1)
-        focal2 = jnp.stack([params.focal[fi], params.focal[fj]], axis=1)
-        drow2 = jnp.stack([drows[fi], drows[fj]], axis=1)
-        srow2 = jnp.stack([srows[fi], srows[fj]], axis=1)
-        shift2 = (
-            jnp.stack([shrows[fi], shrows[fj]], axis=1) if has_shift else None
-        )
+        focal2 = jnp.stack([gather_focal(fi), gather_focal(fj)], axis=1)
+        s2 = jnp.stack([s0, s1], axis=-1)              # (P, C, 2)
+        warp2 = jnp.stack([w0, w1], axis=-2)           # (P, C, 2, 2)
+        shift2 = jnp.stack([sh0, sh1], axis=-1) if has_shift else None
         grads = jac(
-            pose2, focal2, drow2, srow2, shift2,
+            pose2, focal2, s2, warp2, shift2,
             data.loc0, data.depth0, data.loc1, data.depth1,
-            aux.taps.d0, aux.taps.d1, aux.taps.s0, aux.taps.s1,
         )
         w2 = jnp.square(data.weight * irls_weight)[..., None]  # (P, C, 1)
 
-        def acc_pair(g, B_extra_dims):
-            # g: (P, C, 3, 2, ...) -> per-pair summed squares (P, 2, ...)
-            sq = jnp.sum(jnp.square(g) * w2[..., None, *([None] * B_extra_dims)],
-                         axis=(1, 2))
-            return sq
+        def _acc_frames(sq_slot, taps_pair, acc):
+            """sq_slot (P, C, K) per-slot squared scalar-grads; contract
+            with squared taps and scatter-add per frame."""
+            for k, (frames_k, taps_k) in enumerate(taps_pair):
+                contrib = jnp.einsum(
+                    "pc,pcg->pg", sq_slot[..., k], jnp.square(taps_k),
+                    precision=_HI,
+                )
+                acc = acc.at[frames_k].add(contrib)
+            return acc
 
-        g_pose = acc_pair(grads[0], 1)       # (P, 2, 6)
-        g_focal = acc_pair(grads[1], 0)      # (P, 2)
-        g_drow = acc_pair(grads[2], 1)       # (P, 2, Gd)
-        g_srow = acc_pair(grads[3], 1)       # (P, 2, Gs*2)
-        d_pose = d_pose.at[fi].add(g_pose[:, 0]).at[fj].add(g_pose[:, 1])
-        d_focal = d_focal.at[fi].add(g_focal[:, 0]).at[fj].add(g_focal[:, 1])
-        d_dgrid = d_dgrid.at[fi].add(g_drow[:, 0]).at[fj].add(g_drow[:, 1])
-        d_sgrid = d_sgrid.at[fi].add(g_srow[:, 0]).at[fj].add(g_srow[:, 1])
+        # pose: (P, C, 3, 2, 6)
+        sq_pose = jnp.sum(jnp.square(grads[0]) * w2[..., None, None], axis=(1, 2))
+        d_pose = d_pose.at[fi].add(sq_pose[:, 0]).at[fj].add(sq_pose[:, 1])
+        # focal: (P, C, 3, 2)
+        sq_focal = jnp.sum(jnp.square(grads[1]) * w2[..., None], axis=(1, 2))
+        if shared_intr:
+            d_focal = d_focal.at[0].add(jnp.sum(sq_focal[:, 0]))
+        else:
+            d_focal = d_focal.at[fi].add(sq_focal[:, 0]).at[fj].add(sq_focal[:, 1])
+        # depth scale: (P, C, 3, 2) scalar grads -> rank-1 tap contraction
+        sq_s = jnp.sum(jnp.square(grads[2]) * w2[..., None], axis=2)  # (P, C, 2)
+        d_dgrid = _acc_frames(
+            sq_s, [(fi, aux.taps.d0), (fj, aux.taps.d1)], d_dgrid
+        )
+        # warp: (P, C, 3, 2, 2) -> per slot/channel
+        sq_w = jnp.sum(jnp.square(grads[3]) * w2[..., None, None], axis=2)  # (P, C, 2, 2)
+        for ch in range(2):
+            d_sgrid = d_sgrid.at[:, :, ch].set(_acc_frames(
+                sq_w[..., ch],
+                [(fi, aux.taps.s0), (fj, aux.taps.s1)],
+                d_sgrid[:, :, ch],
+            ))
         if has_shift:
-            g_sh = acc_pair(grads[4], 1)
-            d_shift = d_shift.at[fi].add(g_sh[:, 0]).at[fj].add(g_sh[:, 1])
+            sq_sh = jnp.sum(jnp.square(grads[4]) * w2[..., None], axis=2)
+            d_shift = _acc_frames(
+                sq_sh, [(fi, aux.taps.d0), (fj, aux.taps.d1)], d_shift
+            )
 
         # ---- scene-flow smoothness: per-sample 3-frame mini-problem -------
         if use_triplets and aux.triplets is not None:
             trip = aux.triplets
+            f3 = jnp.stack(
+                [trip.frame - 1, trip.frame, trip.frame + 1], axis=1
+            )  # (T, 3)
 
-            def trip_res(pose3, focal3, drow3, srow3, shift3, loc, depth):
-                mini = SolverParams(
-                    pose=pose3,
-                    focal=focal3,
-                    depth_grid=drow3.reshape((3,) + dshape),
-                    spatial_grid=srow3.reshape((3,) + sshape),
-                    depth_shift=(
-                        shift3.reshape((3,) + dshape) if has_shift else None
-                    ),
-                )
+            def trip_res(pose3, focal3, s3, warp3, shift3, loc, depth):
+                mini = mini_params(pose3, focal3, s3, warp3, shift3, 3)
                 mdata = TripletData(
                     frame=jnp.asarray([1], jnp.int32),
                     loc=loc[None, None],
                     depth=depth[None, None],
                     weight=jnp.ones((1, 1), jnp.float32),
                 )
-                return smoothness_residuals(mini, cfg, mdata)[0, 0]  # (3,)
+                # one-handle grids: interpolation is identity on the held
+                # scalars regardless of spec (taps path not used here, so
+                # give the mini problem matching one-handle specs)
+                mini_cfg = cfg._replace(
+                    depth_spec=GridSpec(gx=1, gy=1, gz=1),
+                    spatial_spec=GridSpec(gx=1, gy=1),
+                )
+                return smoothness_residuals(mini, mini_cfg, mdata)[0, 0]
 
-            f3 = jnp.stack(
-                [trip.frame - 1, trip.frame, trip.frame + 1], axis=1
-            )  # (T, 3)
-            tjac = jax.vmap(jax.vmap(
-                jax.jacrev(trip_res, argnums=argnums),
-                in_axes=(None, None, None, None, None, 0, 0),
-            ), in_axes=(0, 0, 0, 0, 0 if has_shift else None, 0, 0))
-            tgrads = tjac(
-                params.pose[f3], params.focal[f3], drows[f3], srows[f3],
-                shrows[f3] if has_shift else None,
-                trip.loc, trip.depth,
-            )
-            tw2 = trip.weight[..., None]  # (T, C, 1); residual uses sqrt(w)
-
-            def tacc(g, extra_dims):
-                # g: (T, C, 3, 3, ...) -> per-triplet summed squares
-                return jnp.sum(
-                    jnp.square(g)
-                    * tw2[..., None, *([None] * extra_dims)],
-                    axis=(1, 2),
-                )  # (T, 3, ...)
-
-            tg_pose = tacc(tgrads[0], 1)
-            tg_focal = tacc(tgrads[1], 0)
-            tg_drow = tacc(tgrads[2], 1)
-            tg_srow = tacc(tgrads[3], 1)
+            # interpolated scalars + dense taps per triplet slot
+            t_s, t_w, t_sh, t_dtaps, t_staps = [], [], [], [], []
             for k in range(3):
                 fk = f3[:, k]
-                d_pose = d_pose.at[fk].add(tg_pose[:, k])
-                d_focal = d_focal.at[fk].add(tg_focal[:, k])
-                d_dgrid = d_dgrid.at[fk].add(tg_drow[:, k])
-                d_sgrid = d_sgrid.at[fk].add(tg_srow[:, k])
-            if has_shift:
-                tg_sh = tacc(tgrads[4], 1)
-                for k in range(3):
-                    d_shift = d_shift.at[f3[:, k]].add(tg_sh[:, k])
+                lock = trip.loc[:, :, k]
+                depk = trip.depth[:, :, k]
+                dW = dense_tap_weights(cfg.depth_spec, lock, depk)
+                sW = dense_tap_weights(cfg.spatial_spec, lock)
+                t_dtaps.append(dW)
+                t_staps.append(sW)
+                t_s.append(jnp.einsum("pcg,pg->pc", dW, drows[fk], precision=_HI))
+                t_w.append(jnp.einsum("pcs,psd->pcd", sW, srows3[fk], precision=_HI))
+                if has_shift:
+                    t_sh.append(jnp.einsum("pcg,pg->pc", dW, shrows[fk], precision=_HI))
 
-        # ---- scale regularizer: per-frame mini-problem --------------------
+            tjac = jax.vmap(jax.vmap(
+                jax.jacrev(trip_res, argnums=argnums),
+                in_axes=(None, None, 0, 0, 0 if has_shift else None, 0, 0),
+            ), in_axes=(0, 0, 0, 0, 0 if has_shift else None, 0, 0))
+            pose3 = params.pose[f3]
+            focal3 = (
+                jnp.broadcast_to(params.focal[0], f3.shape)
+                if shared_intr else params.focal[f3]
+            )
+            s3 = jnp.stack(t_s, axis=-1)                 # (T, C, 3)
+            warp3 = jnp.stack(t_w, axis=-2)              # (T, C, 3, 2)
+            shift3 = jnp.stack(t_sh, axis=-1) if has_shift else None
+            tgrads = tjac(pose3, focal3, s3, warp3, shift3,
+                          trip.loc, trip.depth)
+            tw2 = trip.weight[..., None]  # residual folds sqrt(weight)
+
+            sq_pose_t = jnp.sum(
+                jnp.square(tgrads[0]) * tw2[..., None, None], axis=(1, 2)
+            )  # (T, 3, 6)
+            sq_focal_t = jnp.sum(
+                jnp.square(tgrads[1]) * tw2[..., None], axis=(1, 2)
+            )  # (T, 3)
+            sq_s_t = jnp.sum(jnp.square(tgrads[2]) * tw2[..., None], axis=2)
+            sq_w_t = jnp.sum(
+                jnp.square(tgrads[3]) * tw2[..., None, None], axis=2
+            )  # (T, C, 3, 2)
+            if has_shift:
+                sq_sh_t = jnp.sum(jnp.square(tgrads[4]) * tw2[..., None], axis=2)
+            for k in range(3):
+                fk = f3[:, k]
+                d_pose = d_pose.at[fk].add(sq_pose_t[:, k])
+                if shared_intr:
+                    if k == 0:
+                        d_focal = d_focal.at[0].add(jnp.sum(sq_focal_t[:, 0]))
+                else:
+                    d_focal = d_focal.at[fk].add(sq_focal_t[:, k])
+                d_dgrid = d_dgrid.at[fk].add(jnp.einsum(
+                    "pc,pcg->pg", sq_s_t[..., k],
+                    jnp.square(t_dtaps[k]), precision=_HI,
+                ))
+                for ch in range(2):
+                    d_sgrid = d_sgrid.at[fk, :, ch].add(jnp.einsum(
+                        "pc,pcg->pg", sq_w_t[..., k, ch],
+                        jnp.square(t_staps[k]), precision=_HI,
+                    ))
+                if has_shift:
+                    d_shift = d_shift.at[fk].add(jnp.einsum(
+                        "pc,pcg->pg", sq_sh_t[..., k],
+                        jnp.square(t_dtaps[k]), precision=_HI,
+                    ))
+
+        # ---- scale regularizer: rank-1 tap contraction too -----------------
         if sqrt_scale_reg > 0.0 and not opt.fix_depth_transforms:
             W = aux.taps.scale_reg  # (N, G, Gd)
-            med = aux.median_depth
-
-            def frame_scale_res(row, shrow, Wn, medn):
-                scale = Wn @ row
-                depth = medn * scale
-                if has_shift:
-                    depth = depth + Wn @ shrow
-                return (1.0 / jnp.maximum(depth, _EPS) - 1.0) * sqrt_scale_reg
-
-            argn = (0, 1) if has_shift else (0,)
-            jr = jax.vmap(jax.jacrev(frame_scale_res, argnums=argn))(
-                drows, shrows if has_shift else drows,
-                W, jnp.broadcast_to(med[:, None], W.shape[:2]),
-            )
-            d_dgrid = d_dgrid + jnp.sum(jnp.square(jr[0]), axis=1)
+            med = aux.median_depth  # (N,)
+            scale = jnp.einsum("ngk,nk->ng", W, drows, precision=_HI)
+            depth = med[:, None] * scale
             if has_shift:
-                d_shift = d_shift + jnp.sum(jnp.square(jr[1]), axis=1)
+                depth = depth + jnp.einsum("ngk,nk->ng", W, shrows, precision=_HI)
+            # r = sqrt_scale * (1/max(depth, eps) - 1);
+            # dr/dscale = -sqrt_scale * med / depth^2 (0 in the clip region)
+            live = depth > _EPS
+            dr_ddepth = jnp.where(
+                live, -sqrt_scale_reg / jnp.square(jnp.maximum(depth, _EPS)), 0.0
+            )
+            d_dgrid = d_dgrid + jnp.einsum(
+                "ng,ngk->nk", jnp.square(dr_ddepth * med[:, None]),
+                jnp.square(W), precision=_HI,
+            )
+            if has_shift:
+                d_shift = d_shift + jnp.einsum(
+                    "ng,ngk->nk", jnp.square(dr_ddepth), jnp.square(W),
+                    precision=_HI,
+                )
 
         # ---- deformation regularizers: per-frame autodiff -----------------
         if depth_deform_weight > 0.0:
@@ -751,6 +831,8 @@ def build_diag_fn(
 
         # ---- focal / position regularizers --------------------------------
         if sqrt_focal_reg > 0.0 and cfg.intr_opt != "Fixed":
+            # focal_reg_residuals reads every per-frame handle directly
+            # (params.focal - target), independent of the intrinsics mode
             d_focal = d_focal + sqrt_focal_reg ** 2
 
         if sqrt_pos_reg > 0.0:

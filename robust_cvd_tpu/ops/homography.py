@@ -313,6 +313,10 @@ def _register_batch(im1: jnp.ndarray, im2: jnp.ndarray, sel: jnp.ndarray,
     # bf16 inputs / f32 accumulation: descriptors are unit-norm so the
     # ~3e-3 rounding only perturbs matches already sitting on the Lowe
     # ratio boundary — noise RANSAC absorbs; f32 here is 6x MXU cost.
+    # (Unlike ops/geometry.py's backward this is NOT backend-gated: the
+    # mixed bf16->f32 dot works on the CPU backend used by the tests —
+    # tests/test_pipeline.py::test_flow_stage_mesh_matches_single_device
+    # drives register_pairs on the virtual CPU mesh.)
     sim = jnp.einsum(
         "bkd,bld->bkl",
         d2.astype(jnp.bfloat16),

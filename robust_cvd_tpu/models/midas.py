@@ -221,7 +221,17 @@ class ResNeXt101Features(nn.Module):
 
 
 class ResidualConvUnit(nn.Module):
-    """reference blocks.py:88-128."""
+    """reference blocks.py:88-128.
+
+    The skip connection adds relu(x), NOT x: the reference's
+    `self.relu = nn.ReLU(inplace=True)` mutates its input, so by the time
+    `out + x` executes, x has already been rewritten to relu(x)
+    (blocks.py:101-123 — `out = self.relu(x)` aliases x in eval mode).
+    The upstream MiDaS checkpoints were trained with this exact code, so
+    the weights expect the rectified skip. Verified numerically against
+    the reference's own forward in tests/test_torch_parity.py
+    (test_midas_reference_decoder_parity): with `+ x` the outputs diverge
+    by 7e-2; with `+ relu(x)` they agree to 1e-7."""
 
     features: int
     dtype: type = jnp.bfloat16
@@ -234,7 +244,7 @@ class ResidualConvUnit(nn.Module):
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv2")(y)
-        return y + x
+        return y + nn.relu(x)
 
 
 class FeatureFusionBlock(nn.Module):

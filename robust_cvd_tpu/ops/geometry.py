@@ -235,6 +235,68 @@ def _gs_matmul_bwd(res, ct):
 grid_sample_matmul.defvjp(_gs_matmul_fwd, _gs_matmul_bwd)
 
 
+def _hat_weights(uv, H, W, dtype):
+    """2-hot bilinear hat-weight factors R (n, H), Cw (n, W) for flattened
+    sample coords; exactly the forward's tap placement (clamp + border)."""
+    x = jnp.clip(uv[..., 0], 0.0, W - 1.0).reshape(-1)
+    y = jnp.clip(uv[..., 1], 0.0, H - 1.0).reshape(-1)
+    hs = jnp.arange(H, dtype=y.dtype)
+    ws = jnp.arange(W, dtype=x.dtype)
+    R = jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - hs[None, :]))
+    Cw = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - ws[None, :]))
+    return R.astype(dtype), Cw.astype(dtype)
+
+
+def _mm_dtype():
+    # bf16 operands on the MXU (f32 accumulate); CPU's dot thunk can't do
+    # mixed bf16->f32, so tests fall back to a plain f32 contraction there.
+    return jnp.bfloat16 if jax.default_backend() in ("tpu", "axon") else jnp.float32
+
+
+@jax.custom_vjp
+def grid_sample_mxu(data: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """`grid_sample` with BOTH directions as separable MXU contractions.
+
+    TPU gathers with per-element indices run at well under 1 G taps/s (the
+    measured 4-map loss-stack gather at 224x384 is 13.2 ms — PERF.md round
+    4); the bilinear kernel's separability turns the gather into two dense
+    contractions instead:
+
+        out[i, c] = sum_{h,w} R[i, h] * Cw[i, w] * M[h, w, c]
+                  = einsum('iw,(ih,hwc->iwc)->ic')
+
+    at H x redundant FLOPs — the standard MXU trade (same as the separable
+    Mask R-CNN paste and the matmul scatter-VJP). Operands are bf16 with
+    f32 accumulation ON TPU: sampled values carry ~2^-8 relative rounding,
+    so use this where bf16 data precision is acceptable (the training loss
+    stack; NOT byte-exact mask pastes). The data-gradient is the same
+    einsum transposed (`grid_sample_matmul`'s backward); the uv-gradient
+    delegates to autodiff of the gather forward (DCE'd when uv carries no
+    parameter dependence, as in the loss where uv = grid + flow).
+    """
+    H, W, C = data.shape
+    mm = _mm_dtype()
+    R, Cw = _hat_weights(uv, H, W, mm)
+    T = jnp.einsum(
+        "ih,hwc->iwc", R, data.astype(mm), preferred_element_type=jnp.float32
+    )
+    out = jnp.einsum(
+        "iw,iwc->ic", Cw.astype(jnp.float32), T, preferred_element_type=jnp.float32
+    )
+    return out.reshape(uv.shape[:-1] + (C,)).astype(data.dtype)
+
+
+def _gs_mxu_fwd(data, uv):
+    return grid_sample_mxu(data, uv), (data, uv)
+
+
+def _gs_mxu_bwd(res, ct):
+    return _gs_matmul_bwd(res, ct)
+
+
+grid_sample_mxu.defvjp(_gs_mxu_fwd, _gs_mxu_bwd)
+
+
 def warping_field(
     extrinsics: jnp.ndarray,
     intrinsics: jnp.ndarray,

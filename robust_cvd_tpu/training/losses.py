@@ -102,15 +102,28 @@ def weighted_mean(x, w, eps: float = 1e-6):
 
 
 # Sampling primitive used by the loss stack. `grid_sample`,
-# `grid_sample_segsum`, and `grid_sample_matmul` are the same function with
-# different backward lowerings (ops/geometry.py); the choice here is a
-# measured decision on the FULL train step (PERF.md), not a microbenchmark:
-# the separable-matmul data-gradient (scatter-add rewritten as one MXU
-# contraction over 2-hot hat-weight factors) measures 70.1 vs 88.2 ms/step
-# against XLA's native scatter at 224x384 batch 2, with the loss
-# trajectory identical to 6 decimals over 41 steps (bf16 tap rounding,
-# f32 accumulation). segsum (argsort-based) lost: 233.9 ms/step.
-_GRID_SAMPLE = geometry.grid_sample_matmul
+# `grid_sample_segsum`, `grid_sample_matmul`, and `grid_sample_mxu` are the
+# same function with different lowerings (ops/geometry.py); the choice here
+# is a measured decision on the FULL train step (PERF.md), not a
+# microbenchmark. History at 224x384 batch 2 on a v5e:
+#   - round 3: separable-matmul data-gradient (scatter rewritten as one MXU
+#     contraction over 2-hot hat-weight factors): 70.1 vs 88.2 ms/step
+#     against XLA's native scatter; segsum (argsort) lost at 233.9.
+#   - round 4: the gather FORWARD was the remaining loss-stack cost (13.2 of
+#     14.6 ms; TPU per-element gathers run ~0.3 G taps/s). grid_sample_mxu
+#     runs the forward as the same separable contraction: 64.1 ->
+#     49.5 ms/step. Sampled values carry bf16 rounding (~2e-3 relative,
+#     f32-accumulated); the golden-scene quality gate is the acceptance
+#     criterion (bench.py, PERF.md round 4).
+# On CPU (tests, no MXU, 1 core) the dense contraction is the WORSE trade
+# and bf16 dots are unsupported anyway: keep the exact gather forward there.
+def _grid_sample_auto(data, uv):
+    if jax.default_backend() in ("tpu", "axon"):
+        return geometry.grid_sample_mxu(data, uv)
+    return geometry.grid_sample_matmul(data, uv)
+
+
+_GRID_SAMPLE = _grid_sample_auto
 
 
 def _sample_chw(data, uv):
@@ -169,15 +182,20 @@ def consistency_loss(
             reproj_losses.append(weighted_mean(dist(d), mask))
 
         if opt.lambda_static_disparity > 0 or opt.lambda_static_depth_ratio > 0:
-            warped_tgt = _sample_chw(pts_tgt_frame, matched)
+            # Only the z channel of the warped target points is ever used
+            # below, so sample the (H, W, 1) depth slice instead of the full
+            # (H, W, 3) point map — the bilinear gather is the dominant cost
+            # of the whole loss stack on TPU (PERF.md round 4: 13.2 of
+            # 14.6 ms) and scales linearly in channels.
+            warped_tgt_z = _sample_chw(pts_tgt_frame[..., 2:], matched)[..., 0]
 
         if opt.lambda_static_disparity > 0:
             f = jnp.mean(intr_ref[:, :2], axis=1)
-            disp_diff = 1.0 / pts_in_tgt[..., 2] - 1.0 / warped_tgt[..., 2]
+            disp_diff = 1.0 / pts_in_tgt[..., 2] - 1.0 / warped_tgt_z
             disp_losses.append(f * weighted_mean(dist(disp_diff), mask))
 
         if opt.lambda_static_depth_ratio > 0:
-            d_w = jnp.abs(warped_tgt[..., 2])
+            d_w = jnp.abs(warped_tgt_z)
             d_t = jnp.abs(pts_in_tgt[..., 2])
             ratio = opt.lambda_static_depth_ratio * jnp.log(
                 jnp.minimum(d_w, d_t) / jnp.maximum(jnp.maximum(d_w, d_t), 1e-12)

@@ -215,3 +215,40 @@ def test_grid_sample_custom_vjp_backwards_match_autodiff():
         )
         got = jax.grad(lambda d: jnp.vdot(fn(d, uv), ct))(data)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=tol)
+
+
+def test_grid_sample_mxu_matches_gather():
+    """grid_sample_mxu (both directions as separable MXU contractions) must
+    reproduce the gather forward and the autodiff backward. On CPU the
+    contraction runs in f32, so the forward is exact up to contraction
+    reassociation (~1e-5); on TPU the bf16 operands add ~2e-3 relative
+    rounding (accepted at the loss level via the bench quality gate)."""
+    rng = np.random.default_rng(11)
+    H, W, C = 13, 17, 2
+    data = jnp.asarray(rng.uniform(0.5, 5.0, (H, W, C)), jnp.float32)
+    uv = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-2.0, W + 1.0, (7, 9)),
+                rng.uniform(-2.0, H + 1.0, (7, 9)),
+            ],
+            axis=-1,
+        ),
+        jnp.float32,
+    )
+    want = geometry.grid_sample(data, uv)
+    got = geometry.grid_sample_mxu(data, uv)
+    assert got.shape == want.shape == (7, 9, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    ct = jnp.asarray(rng.standard_normal((7, 9, C)), jnp.float32)
+    want_g = jax.grad(lambda d: jnp.vdot(geometry.grid_sample(d, uv), ct))(data)
+    got_g = jax.grad(lambda d: jnp.vdot(geometry.grid_sample_mxu(d, uv), ct))(data)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g), atol=1e-4)
+
+    # uv-gradient delegates to the gather autodiff: exact match
+    want_u = jax.grad(
+        lambda u: jnp.vdot(geometry.grid_sample(data, u), ct))(uv)
+    got_u = jax.grad(
+        lambda u: jnp.vdot(geometry.grid_sample_mxu(data, u), ct))(uv)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u), atol=1e-5)

@@ -32,10 +32,14 @@ DIST_NAMES = ("l1", "l2", "smooth_l1", "cauchy", "general")
 class PoseOptParams:
     """Pose/deformation solver parameters.
 
-    Defaults match reference lib/PoseOptimizer.h:54-108. `max_iterations` /
-    `num_threads` are kept for CLI compatibility; the LM solver interprets
-    max_iterations as its outer-iteration cap and ignores num_threads
-    (a single fused TPU program replaces the 12-thread CPU solve).
+    Defaults match reference lib/PoseOptimizer.h:54-108. `max_iterations`
+    (Ceres' per-solve iteration cap, reference PoseOptimizer.cpp:954-961)
+    caps this solver's LM outer iterations: the effective cap is
+    min(lm_max_outer, max_iterations) for cold solves and
+    min(lm_warm_max_outer, max_iterations) for warm ones (pose_opt.py).
+    `num_threads` is accepted for CLI compatibility but has no analog —
+    one fused TPU program replaces the 12-thread CPU solve; a non-default
+    value prints a warning at parse time instead of being silently eaten.
     """
 
     max_iterations: int = 1000
@@ -192,6 +196,9 @@ class PipelineConfig:
     post_filter: bool = False
     filter_radius: int = 4
 
+    # Parsed-but-unused in the REFERENCE as well: params.py:215-217 defines
+    # them for the commented-out make-video path (process.py:242-340) and no
+    # reference code ever reads them. Kept for CLI compatibility.
     save_static: bool = False
     save_finetuning: bool = False
     save_vis: bool = False
@@ -278,6 +285,27 @@ def parse_config(argv=None) -> PipelineConfig:
     )
     for mode in cfg.flow_ops:
         SamplePairsMode(mode)  # validate
+    if cfg.recon not in ("i3d", "colmap"):
+        # the reference parses "hd_depth" too (params.py:46-47) but has no
+        # code path for it (no metadata source, no pose opt) — it crashes
+        # in VideoDataset; reject it loudly instead of limping after it
+        raise SystemExit(
+            f"--recon must be i3d or colmap, got {cfg.recon!r} "
+            "(hd_depth has no implementation in the reference either)"
+        )
+    if cfg.scaling not in ("extrinsics", "depth"):
+        raise SystemExit(
+            f"--scaling must be extrinsics or depth, got {cfg.scaling!r}"
+        )
+    if cfg.flow_model != "raft":
+        # reference params.py:90: choices=["raft"]
+        raise SystemExit(f"--flow_model must be raft, got {cfg.flow_model!r}")
+    if cfg.opt.num_threads != PoseOptParams().num_threads:
+        print(
+            f"warning: --opt.num_threads {cfg.opt.num_threads} has no "
+            "effect: one fused TPU program replaces the reference's "
+            "multi-threaded CPU solve (lib/PoseOptimizer.h:57)"
+        )
     if cfg.opt.value_xform not in ("Scale", "ScaleShift"):
         raise SystemExit(
             f"--opt.value_xform must be Scale or ScaleShift, got "

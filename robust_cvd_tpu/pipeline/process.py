@@ -85,8 +85,17 @@ class DatasetProcessor:
             meta = video.extract_frames()
 
         with tracer.span("downscale_frames"):
-            video.downscale_frames("color_down", cfg.size, ".raw", cfg.align)
-            video.downscale_frames("color_down_png", cfg.size, ".png", cfg.align)
+            # --short_side_target applies to the training resolutions only
+            # (reference process.py:104-112 passes it for color_down/
+            # color_down_png but not the flow resolution)
+            video.downscale_frames(
+                "color_down", cfg.size, ".raw", cfg.align,
+                short_side_target=cfg.short_side_target,
+            )
+            video.downscale_frames(
+                "color_down_png", cfg.size, ".png", cfg.align,
+                short_side_target=cfg.short_side_target,
+            )
             video.downscale_frames("color_flow", FLOW_MAX_SIZE, ".png", FLOW_ALIGN)
 
         store = VideoStore.open(cfg.path)
@@ -156,14 +165,22 @@ class DatasetProcessor:
             or cfg.loss.lambda_smooth_reprojection > 0
             or cfg.loss.lambda_smooth_depth_ratio > 0
         )
+        images = store.load_color_down()
+        pose_state_override = None
+        ref_disp = None
+        if cfg.recon == "colmap":
+            pose_state_override, ref_disp = self._colmap_fixed_poses(
+                store, images.shape[1:3]
+            )
         clip = build_clip_data(
-            store.load_color_down(),
+            images,
             depth,
             flow_list,
             store.flows,
             {k: np.asarray(v, np.float32) for k, v in store.flow_masks.items()},
             cfg.min_mask_ratio,
             use_temporal,
+            ref_disp=ref_disp,
         )
         inputs = pose._make_inputs()
         adapter = self._depth_model()
@@ -183,9 +200,72 @@ class DatasetProcessor:
         tuner = FineTuner(
             cfg, adapter, clip, inputs, pose=pose, out_dir=ft_dir,
             mesh=pmesh.pipeline_mesh(),
+            pose_state_override=pose_state_override,
         )
         tuner.run()
         return tuner
+
+    def _colmap_fixed_poses(self, store: VideoStore, shape):
+        """recon=colmap inputs: fixed extrinsics/intrinsics from the COLMAP
+        metadata npz, plus (scaling=depth) the reference disparity maps used
+        for the per-step median depth rescale (reference
+        depth_fine_tuning.py:296-318, 494-511).
+
+        scaling=extrinsics reads metadata_scaled.npz from the range dir (the
+        poses were pre-scaled by the COLMAP calibration chain,
+        io/colmap.py); scaling=depth reads colmap_dense/metadata.npz and the
+        depth_colmap_dense/depth/*.raw disparities, nearest-resized to the
+        training resolution (the reference hardcodes cv2.resize to
+        (224, 384) — we resize to the actual training (H, W) instead, which
+        is the same thing for the 384p portrait clips it was written for).
+        """
+        cfg = self.cfg
+        from ..training.fine_tune import PoseState
+
+        if cfg.scaling == "extrinsics":
+            meta_file = pjoin(
+                self.out_dir(store.num_frames), "metadata_scaled.npz"
+            )
+        else:
+            meta_file = pjoin(cfg.path, "colmap_dense", "metadata.npz")
+        if not os.path.exists(meta_file):
+            raise FileNotFoundError(
+                f"--recon colmap needs {meta_file} (run the COLMAP import "
+                "chain, io/colmap.py / io/importers.py, first)"
+            )
+        with open(meta_file, "rb") as f:
+            meta = np.load(f)
+            ext = np.asarray(meta["extrinsics"], np.float32)  # (N, 3, 4)
+            intr = np.asarray(meta["intrinsics"], np.float32)  # (N, 4) px
+        N = store.num_frames
+        if ext.shape[0] != N:
+            raise ValueError(
+                f"metadata npz has {ext.shape[0]} frames, clip has {N}"
+            )
+        H, W = shape
+        ps = PoseState(
+            extrinsics=ext,
+            intrinsics=intr,
+            scales=np.ones((N, H, W), np.float32),
+            warp=np.zeros((N, H, W, 2), np.float32),
+        )
+
+        ref_disp = None
+        if cfg.scaling == "depth":
+            from ..io import raw as raw_io
+
+            ref_disp = np.empty((N, H, W), np.float32)
+            for i in range(N):
+                d = raw_io.load_raw_float32_image(
+                    pjoin(
+                        cfg.path, "depth_colmap_dense", "depth",
+                        f"frame_{i:06d}.raw",
+                    )
+                )
+                ys = (np.arange(H) * d.shape[0] // H).clip(0, d.shape[0] - 1)
+                xs = (np.arange(W) * d.shape[1] // W).clip(0, d.shape[1] - 1)
+                ref_disp[i] = d[ys[:, None], xs[None, :]]
+        return ps, ref_disp
 
     def process(self):
         if self.cfg.op == "extract_frames":

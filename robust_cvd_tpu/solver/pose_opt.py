@@ -100,8 +100,11 @@ def default_solver_params(
 
 
 def _lm_config(opt: PoseOptParams) -> LMConfig:
+    # --opt.max_iterations (Ceres' per-solve iteration cap, reference
+    # lib/PoseOptimizer.h:56, .cpp:954-961) bounds the LM outer iterations;
+    # at the defaults (1000 vs 50) the LM's own cap binds first.
     return LMConfig(
-        max_outer=opt.lm_max_outer,
+        max_outer=min(opt.lm_max_outer, opt.max_iterations),
         cg_iters=opt.lm_cg_iters,
         lam_init=opt.lm_lambda_init,
         rtol=opt.lm_rtol,

@@ -50,6 +50,12 @@ class ClipData(NamedTuple):
     flows_n: Optional[jnp.ndarray] = None  # (P, 4, H, W, 2)
     masks_n: Optional[jnp.ndarray] = None  # (P, 4, H, W)
     valid_n: Optional[jnp.ndarray] = None  # (P, 2)
+    # COLMAP reference disparity (recon=colmap, scaling=depth): per-frame
+    # reference disparity maps; non-finite pixels are invalid. When set, each
+    # train step rescales the predicted depth by the per-frame median of
+    # (estimated disparity / reference disparity), detached — reference
+    # depth_fine_tuning.py:494-511.
+    ref_disp: Optional[jnp.ndarray] = None  # (N, H, W)
 
 
 class PoseState(NamedTuple):
@@ -110,6 +116,7 @@ def build_clip_data(
     masks: Dict[Tuple[int, int], np.ndarray],
     min_mask_ratio: float,
     use_temporal: bool = False,
+    ref_disp: Optional[np.ndarray] = None,
 ) -> ClipData:
     """Assemble device tensors from per-pair host data.
 
@@ -146,6 +153,8 @@ def build_clip_data(
         flows=jnp.asarray(fl, jnp.float32),
         masks=jnp.asarray(mk, jnp.float32),
     )
+    if ref_disp is not None:
+        data["ref_disp"] = jnp.asarray(ref_disp, jnp.float32)
 
     if use_temporal:
         nbr = np.zeros((P, 4), np.int32)
@@ -180,6 +189,31 @@ def build_clip_data(
         )
 
     return ClipData(**data)
+
+
+def colmap_depth_scale(depth, ref):
+    """Per-frame scalar scale = median over valid pixels of
+    (estimated disparity / reference disparity), gradient-detached
+    (reference depth_fine_tuning.py:494-511 computes it with
+    .detach().cpu() + np.median). depth, ref: (B, K, H, W).
+
+    Masked median on device: invalid pixels sort to +inf; with m valid
+    entries the median is the mean of ranks (m-1)//2 and m//2 of the
+    sorted valid values (exactly numpy's even/odd median semantics)."""
+    B, K, _, _ = depth.shape
+    est_disp = 1.0 / depth
+    valid = jnp.isfinite(ref)
+    ratio = jnp.where(valid, est_disp / ref, jnp.inf).reshape(B, K, -1)
+    srt = jnp.sort(ratio, axis=-1)
+    m = valid.reshape(B, K, -1).sum(axis=-1)
+    lo = jnp.maximum((m - 1) // 2, 0)
+    hi = jnp.maximum(m // 2, 0)
+    med = (
+        jnp.take_along_axis(srt, lo[..., None], axis=-1)
+        + jnp.take_along_axis(srt, hi[..., None], axis=-1)
+    )[..., 0] / 2.0
+    med = jnp.where(m > 0, med, 1.0)
+    return jax.lax.stop_gradient(med)
 
 
 def _make_step_body(net, loss_opt: LossParams, optimizer, use_temporal: bool):
@@ -236,6 +270,11 @@ def _make_step_body(net, loss_opt: LossParams, optimizer, use_temporal: bool):
 
         def loss_fn(p):
             depth, new_stats = forward_depth(p, batch_stats, images, scales)
+            if clip.ref_disp is not None:
+                # COLMAP per-frame median depth rescale (recon=colmap,
+                # scaling=depth; reference depth_fine_tuning.py:494-511)
+                s = colmap_depth_scale(depth, clip.ref_disp[frames])
+                depth = depth * s[..., None, None]
             total, parts = losses.joint_loss(
                 loss_opt, images, depth_orig, depth, meta,
                 params=p, params_init=params_init,
@@ -346,6 +385,11 @@ def _make_eval_body(net, loss_opt: LossParams, use_temporal: bool):
             x, train=True, mutable=["batch_stats"],
         )
         depth = (1.0 / (disp + 1e-7)).reshape(B, K, H, W) * ps.scales[frames]
+        if clip.ref_disp is not None:
+            # same COLMAP per-frame median rescale as the train step
+            # (reference depth_fine_tuning.py:745-765 applies it in eval too)
+            s = colmap_depth_scale(depth, clip.ref_disp[frames])
+            depth = depth * s[..., None, None]
         meta = LossMeta(
             extrinsics=ps.extrinsics[frames],
             intrinsics=ps.intrinsics[frames],
@@ -407,9 +451,20 @@ class FineTuner:
 
     def __init__(self, cfg: PipelineConfig, adapter, clip: ClipData,
                  pose_inputs: PoseOptInputs, seed: int = 0,
-                 pose=None, out_dir: Optional[str] = None, mesh=None):
+                 pose=None, out_dir: Optional[str] = None, mesh=None,
+                 pose_state_override: Optional[PoseState] = None):
         self.cfg = cfg
         self.adapter = adapter
+        # recon=colmap: poses/intrinsics are fixed by the COLMAP
+        # reconstruction; the solver never runs (reference
+        # depth_fine_tuning.py:357-368, 581-583 gate every pose-opt call on
+        # recon == "i3d").
+        self.pose_state_override = pose_state_override
+        if cfg.recon == "colmap" and pose_state_override is None:
+            raise ValueError(
+                "recon=colmap requires a pose_state_override built from the "
+                "COLMAP metadata npz (pipeline/process.py builds it)"
+            )
         self.mesh = mesh
         self.n_mesh = 1
         if mesh is not None:
@@ -513,8 +568,16 @@ class FineTuner:
             B = min(ft.batch_size * self.n_mesh, P) // self.n_mesh * self.n_mesh
         inter_freq = ft.save_intermediate_depth_streams_freq
         persist = self.pose is not None and self.out_dir is not None
+        use_solver = self.cfg.recon == "i3d"
 
-        self.optimize_poses()
+        if use_solver:
+            self.optimize_poses()
+        else:
+            self.pose_state = self.pose_state_override
+            if self.mesh is not None:
+                from ..parallel import mesh as pmesh
+
+                self.pose_state = pmesh.replicate(self.pose_state, self.mesh)
 
         # initial depth stream under the experiment dir (reference
         # depth_fine_tuning.py:360-365: depth_e0000 with intermediate streams
@@ -542,6 +605,7 @@ class FineTuner:
             # latency >> step compute on this hardware); the trailing
             # partial batch is kept (reference DataLoader drop_last=False)
             # and runs as its own fixed-shape step.
+            steps_info = []  # (batch_size, loss, {part: (B,) np}) per step
             S = P // B if B > 0 else 0
             if S > 0:
                 blocks = jnp.asarray(order[: S * B].reshape(S, B), jnp.int32)
@@ -552,6 +616,14 @@ class FineTuner:
                 )
                 epoch_losses.append(losses_s)
                 last_parts = {k: v[-1] for k, v in parts_s.items()}
+                if self.writer is not None:
+                    losses_np = np.asarray(losses_s)
+                    parts_np = {k: np.asarray(v) for k, v in parts_s.items()}
+                    steps_info += [
+                        (B, float(losses_np[s]),
+                         {k: v[s] for k, v in parts_np.items()})
+                        for s in range(S)
+                    ]
                 total_iters += S * B
             if S * B < P:
                 # Trailing partial batch (reference DataLoader
@@ -571,29 +643,57 @@ class FineTuner:
                 )
                 epoch_losses.append(loss[None])
                 last_parts = parts
+                if self.writer is not None:
+                    steps_info.append(
+                        (int(ids.shape[0]), float(loss),
+                         {k: np.asarray(v) for k, v in parts.items()})
+                    )
                 total_iters += int(ids.shape[0])
             mean_loss = float(jnp.mean(jnp.concatenate(epoch_losses)))
             self.history.append(
                 {"epoch": epoch, "loss": mean_loss, "sec": time.perf_counter() - t0}
             )
             if self.writer is not None:
-                # scalar + histogram + image-grid logging matches the
-                # reference's TB layout (depth_fine_tuning.py:120-191)
-                self.writer.add_scalar("Train/loss", mean_loss, epoch)
-                for k, v in last_parts.items():
-                    arr = np.asarray(v)
-                    self.writer.add_scalar(f"Train/{k}/mean", float(arr.mean()), epoch)
-                    self.writer.add_scalar(f"Train/{k}/max", float(arr.max()), epoch)
-                    self.writer.add_scalar(f"Train/{k}/min", float(arr.min()), epoch)
-                    self.writer.add_histogram(f"Train/{k}", arr, epoch)
-                if epoch_losses:
+                # Per-iteration scalars gated by --print_freq and image/
+                # histogram summaries gated by --display_freq, both on the
+                # reference's running pair counter (depth_fine_tuning.py:
+                # 542-551: total_iters += batch; log_loss at total_iters %
+                # print_freq == 0; write_summary at % display_freq == 0).
+                # The epoch runs as one fused device scan, so the per-step
+                # losses are logged post-hoc from the scan outputs; image
+                # summaries reflect the end-of-epoch state (intermediate
+                # weights are not retained by the scan).
+                it = total_iters - sum(b for b, _, _ in steps_info)
+                display_at = None
+                for bsz, lval, prow in steps_info:
+                    it += bsz
+                    if it % max(1, ft.print_freq) == 0:
+                        self.writer.add_scalar("Train/loss", lval, it)
+                        for k, arr in prow.items():
+                            arr = np.atleast_1d(arr)
+                            self.writer.add_scalar(
+                                f"Train/{k}/mean", float(arr.mean()), it
+                            )
+                            self.writer.add_scalar(
+                                f"Train/{k}/max", float(arr.max()), it
+                            )
+                            self.writer.add_scalar(
+                                f"Train/{k}/min", float(arr.min()), it
+                            )
+                    if it % max(1, ft.display_freq) == 0:
+                        display_at = it
+                if display_at is not None:
+                    for k, v in last_parts.items():
+                        self.writer.add_histogram(
+                            f"Train/{k}", np.asarray(v), display_at
+                        )
                     self.writer.add_histogram(
                         "Train/batch_losses",
                         np.concatenate([np.atleast_1d(np.asarray(x))
                                         for x in epoch_losses]),
-                        epoch,
+                        display_at,
                     )
-                self._log_image_grid(epoch)
+                    self._log_image_grid(display_at)
 
             if ft.val_epoch_freq >= 0 and (epoch + 1) % ft.val_epoch_freq == 0:
                 self.validate(epoch + 1, total_iters)
@@ -610,7 +710,7 @@ class FineTuner:
                 if persist:
                     self.pose.save_depth_to_last_stream(np.asarray(self.current_depth))
 
-            if (epoch + 1) % max(1, self.cfg.ft.pose_opt_freq) == 0:
+            if use_solver and (epoch + 1) % max(1, self.cfg.ft.pose_opt_freq) == 0:
                 if persist and inter_freq > 0:
                     self.pose.duplicate_last_depth_stream(
                         f"e{epoch:04d}_opt",

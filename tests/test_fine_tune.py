@@ -462,3 +462,115 @@ def test_epoch_fn_mesh_matches_single_device_temporal():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )
+
+
+# ---------------------------------------------------------------------------
+# recon=colmap semantics (reference depth_fine_tuning.py:357-368, 494-511,
+# 581-583) + print/display_freq TB gating (:546-551).
+# ---------------------------------------------------------------------------
+
+
+def _identity_pose_state(N, H, W):
+    ext = np.tile(np.eye(3, 4, dtype=np.float32), (N, 1, 1))
+    intr = np.tile(np.asarray([W, W, W / 2, H / 2], np.float32), (N, 1))
+    return fine_tune.PoseState(
+        extrinsics=jnp.asarray(ext),
+        intrinsics=jnp.asarray(intr),
+        scales=jnp.ones((N, H, W), jnp.float32),
+        warp=jnp.zeros((N, H, W, 2), jnp.float32),
+    )
+
+
+def test_colmap_depth_scale_matches_numpy():
+    rng = np.random.default_rng(3)
+    B, K, H, W = 2, 2, 7, 9
+    depth = rng.uniform(0.5, 4.0, (B, K, H, W)).astype(np.float32)
+    ref = rng.uniform(0.1, 2.0, (B, K, H, W)).astype(np.float32)
+    # poke some invalid reference pixels (inf/nan), incl. a whole-invalid map
+    ref[0, 0, :2, :3] = np.inf
+    ref[1, 1, 3, :] = np.nan
+    ref[1, 0] = np.nan  # no valid pixels -> scale 1.0
+    got = np.asarray(fine_tune.colmap_depth_scale(jnp.asarray(depth), jnp.asarray(ref)))
+    for b in range(B):
+        for k in range(K):
+            valid = np.isfinite(ref[b, k])
+            if not valid.any():
+                assert got[b, k] == 1.0
+                continue
+            want = np.median((1.0 / depth[b, k])[valid] / ref[b, k][valid])
+            np.testing.assert_allclose(got[b, k], want, rtol=1e-5)
+
+
+def test_fine_tuner_colmap_mode_skips_solver():
+    import dataclasses
+
+    N, H, W = 4, 16, 16
+    clip, inputs = make_tiny_setup(N, H, W)
+    # reference disparity = half the (constant 2.0) initial depth's disparity
+    ref_disp = np.full((N, H, W), 0.25, np.float32)
+    clip = clip._replace(ref_disp=jnp.asarray(ref_disp))
+    cfg = PipelineConfig(recon="colmap", scaling="depth")
+    cfg = dataclasses.replace(
+        cfg, ft=dataclasses.replace(cfg.ft, num_epochs=2, batch_size=2)
+    )
+    ps = _identity_pose_state(N, H, W)
+    tuner = FineTuner(cfg, TinyAdapter(), clip, inputs, pose_state_override=ps)
+    history = tuner.run(num_epochs=2)
+    assert len(history) == 2
+    assert all(np.isfinite(h["loss"]) for h in history)
+    # the pose/deformation solver must never have run (reference gates every
+    # optimize_poses call on recon == "i3d")
+    assert tuner.solver_params is None
+
+
+def test_colmap_mode_requires_override():
+    import pytest
+
+    clip, inputs = make_tiny_setup()
+    cfg = PipelineConfig(recon="colmap")
+    with pytest.raises(ValueError):
+        FineTuner(cfg, TinyAdapter(), clip, inputs)
+
+
+class _FakeWriter:
+    def __init__(self):
+        self.scalars = []
+        self.hists = []
+        self.images = []
+
+    def add_scalar(self, tag, val, it):
+        self.scalars.append((tag, it))
+
+    def add_histogram(self, tag, arr, it):
+        self.hists.append((tag, it))
+
+    def add_image(self, tag, img, it, dataformats=None):
+        self.images.append((tag, it))
+
+
+def test_print_and_display_freq_gating():
+    """--print_freq / --display_freq gate TB writes on the running pair
+    counter exactly like reference depth_fine_tuning.py:546-551."""
+    import dataclasses
+
+    clip, inputs = make_tiny_setup()  # 3 one-way pairs
+    cfg = PipelineConfig(
+        opt=PoseOptParams(
+            num_steps=1, coarse_to_fine=False, lm_max_outer=2, lm_cg_iters=4
+        ),
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        ft=dataclasses.replace(
+            cfg.ft, num_epochs=2, batch_size=2, pose_opt_freq=10,
+            print_freq=2, display_freq=3,
+        ),
+    )
+    tuner = FineTuner(cfg, TinyAdapter(), clip, inputs)
+    tuner.writer = _FakeWriter()
+    tuner.run(num_epochs=2)
+    # per-epoch iters: scan step of 2 + trailing 1 -> counter 2, 3, 5, 6
+    loss_iters = [it for (tag, it) in tuner.writer.scalars if tag == "Train/loss"]
+    assert loss_iters == [2, 6]  # multiples of print_freq=2 only
+    hist_iters = sorted({it for (_, it) in tuner.writer.hists})
+    assert hist_iters == [3, 6]  # multiples of display_freq=3 only

@@ -358,3 +358,34 @@ def test_flow_stage_mesh_matches_single_device(clip_dir, monkeypatch):
         assert np.mean(masks_dp[p] != masks_1d[p]) < 0.02, (
             f"mask mismatch for pair {p}"
         )
+
+
+def test_config_flag_semantics():
+    """No flag parses and silently does nothing (round-4 VERDICT #5)."""
+    import pytest
+
+    from robust_cvd_tpu.config import parse_config
+    from robust_cvd_tpu.solver.pose_opt import _lm_config
+
+    # hd_depth parses in the reference but has no code path; reject loudly
+    with pytest.raises(SystemExit):
+        parse_config(["--recon", "hd_depth"])
+    with pytest.raises(SystemExit):
+        parse_config(["--scaling", "bogus"])
+    cfg = parse_config(["--recon", "colmap", "--scaling", "extrinsics"])
+    assert cfg.recon == "colmap" and cfg.scaling == "extrinsics"
+
+    # --opt.max_iterations maps onto the LM outer-iteration cap
+    cfg = parse_config(["--opt.max_iterations", "3"])
+    assert _lm_config(cfg.opt).max_outer == 3
+    cfg = parse_config([])
+    assert _lm_config(cfg.opt).max_outer == cfg.opt.lm_max_outer
+
+    # --opt.num_threads warns (captured) instead of silently parsing
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        parse_config(["--opt.num_threads", "4"])
+    assert "num_threads" in buf.getvalue()

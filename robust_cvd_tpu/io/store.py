@@ -53,11 +53,25 @@ def mask_name(i: int, j: int) -> str:
     return f"mask_{i:06d}_{j:06d}.png"
 
 
+def _exif_rotate(im):
+    """EXIF orientation tag 274 -> counter-clockwise rotation, exactly the
+    three cases the reference handles (utils/image_io.py:64-84: 8 -> 90,
+    6 -> 270, 3 -> 180; mirrored orientations 2/4/5/7 are ignored there
+    too)."""
+    try:
+        exif = im.getexif()
+        orientation = exif.get(274, 1) if exif else 1
+    except Exception:
+        return im
+    angle = {8: 90, 6: 270, 3: 180}.get(orientation, 0)
+    return im.rotate(angle, expand=True) if angle else im
+
+
 def load_png_gray(path) -> np.ndarray:
     from PIL import Image
 
     with Image.open(path) as im:
-        return np.asarray(im.convert("L"))
+        return np.asarray(_exif_rotate(im).convert("L"))
 
 
 def save_png_gray(path, img: np.ndarray) -> None:
@@ -79,7 +93,7 @@ def load_png_color(path) -> np.ndarray:
     from PIL import Image
 
     with Image.open(path) as im:
-        return np.asarray(im.convert("RGB"), np.float32) / 255.0
+        return np.asarray(_exif_rotate(im).convert("RGB"), np.float32) / 255.0
 
 
 class VideoStore:

@@ -84,3 +84,52 @@ def test_bad_pixel_size_rejected(tmp_path):
     p.write_bytes(struct.pack("<iiiQ", 1, 1, 5, 8) + b"\x00" * 8)
     with pytest.raises(ValueError):
         raw.load_raw_image(p)
+
+
+def test_exif_orientation_honored(tmp_path):
+    """PNG/JPEG loads honor EXIF orientation tag 274 like the reference
+    (utils/image_io.py:64-84): 6 -> 270deg, 8 -> 90deg, 3 -> 180deg."""
+    import numpy as np
+    from PIL import Image
+
+    from robust_cvd_tpu.io.store import load_png_color, load_png_gray
+
+    # asymmetric 2x3 image: distinct corner pixel
+    arr = np.zeros((2, 3, 3), np.uint8)
+    arr[0, 0] = (255, 0, 0)
+    base = Image.fromarray(arr, "RGB")
+
+    def save_with_orientation(path, orient):
+        ex = Image.Exif()
+        ex[274] = orient
+        base.save(path, exif=ex)
+
+    p = tmp_path / "o1.png"
+    save_with_orientation(p, 1)
+    got = load_png_color(str(p))
+    assert got.shape[:2] == (2, 3)
+    assert got[0, 0, 0] == 1.0
+
+    # orientation 6 (rotate 270 CCW): top-left -> (W-1, 0) in the new image
+    p = tmp_path / "o6.png"
+    save_with_orientation(p, 6)
+    got = load_png_color(str(p))
+    assert got.shape[:2] == (3, 2)
+    assert got[0, 1, 0] == 1.0
+
+    # orientation 8 (rotate 90 CCW): top-left -> bottom-left
+    p = tmp_path / "o8.png"
+    save_with_orientation(p, 8)
+    got = load_png_color(str(p))
+    assert got.shape[:2] == (3, 2)
+    assert got[2, 0, 0] == 1.0
+
+    # orientation 3 (180): top-left -> bottom-right; gray loader too
+    p = tmp_path / "o3.png"
+    save_with_orientation(p, 3)
+    got = load_png_color(str(p))
+    assert got.shape[:2] == (2, 3)
+    assert got[1, 2, 0] == 1.0
+    gray = load_png_gray(str(p))
+    assert gray.shape == (2, 3)
+    assert gray[1, 2] > 0

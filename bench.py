@@ -516,8 +516,14 @@ def main():
     detail["fine_tune_total_s"] = round(t_train, 4)
     detail["depth_refresh_total_s"] = round(t_refresh, 4)
 
-    # ---- quality gate -------------------------------------------------------
+    # ---- quality gates ------------------------------------------------------
     quality_gate(detail, tiny=TINY)
+    # dynamic machinery gate: moving object + dynamic mask + triplet
+    # smoothness + adaptive deformation + deferred spatial opt
+    # (robust_cvd_tpu/quality.py::dynamic_solver_gate)
+    from robust_cvd_tpu import quality as _quality
+
+    detail.update(_quality.dynamic_solver_gate(tiny=TINY))
 
     e2e = (
         detail["midas_initial_depth_s"]

@@ -177,3 +177,309 @@ def golden_scene(
     return GoldenScene(
         images=images, depth=depth, extrinsics=ext, intrinsics=intr, pairs=pairs
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic golden scene: static slanted plane + a translating textured
+# object, with per-frame dynamic masks — exercises the machinery the static
+# scene cannot: dynamic-constraint exclusion, AdaptiveDeformationCost
+# weights, scene-flow triplet smoothness, and spatial-warp recovery
+# (reference cost families lib/PoseOptimizer.cpp:321-423, 536-656, 874-887).
+# ---------------------------------------------------------------------------
+
+
+class DynamicGoldenScene(NamedTuple):
+    images: jnp.ndarray  # (N, H, W, 3)
+    depth: jnp.ndarray  # (N, H, W) ground truth (object depth where visible)
+    extrinsics: jnp.ndarray  # (N, 3, 4)
+    intrinsics: jnp.ndarray  # (N, 4)
+    pairs: list
+    static_mask: jnp.ndarray  # (N, H, W) bool, True = static (white=static)
+
+
+def golden_scene_dynamic(
+    num_frames: int = 8,
+    shape: Tuple[int, int] = (96, 128),
+    focal: float = 0.5,
+    plane_depth: float = 3.0,
+    slant: Tuple[float, float] = (0.15, 0.1),
+    baseline: float = 0.08,
+    obj_depth: float = 1.8,
+    obj_half: Tuple[float, float] = (0.28, 0.22),
+    obj_vel: float = 0.12,
+) -> DynamicGoldenScene:
+    """The `golden_scene` rig plus a fronto-parallel textured square at
+    world plane z = -obj_depth whose center translates +x by obj_vel per
+    frame (a rigid moving object). The object's texture moves WITH it, the
+    background plane is the static scene; static_mask is False exactly on
+    object pixels."""
+    base = golden_scene(
+        num_frames=num_frames, shape=shape, focal=focal,
+        plane_depth=plane_depth, slant=slant, baseline=baseline,
+    )
+    H, W = shape
+    pix = geometry.pixel_grid(shape)
+    hw, hh = obj_half
+    # object center starts left of the camera path's center and crosses it
+    cx0 = -0.15
+    cy = 0.05
+
+    def render_obj(ext_i, intr_i, fidx):
+        pos = ext_i[:, 3]
+        rot_i = ext_i[:, :3]
+        rays = geometry.pixels_to_rays(pix, intr_i)
+        d = jnp.einsum("ab,hwb->hwa", rot_i, rays)
+        dz = jnp.where(jnp.abs(d[..., 2]) < 1e-6, -1e-6, d[..., 2])
+        t_o = -(pos[2] + obj_depth) / dz
+        hit = pos[None, None] + t_o[..., None] * d
+        cx = cx0 + fidx * obj_vel
+        inside = (
+            (jnp.abs(hit[..., 0] - cx) < hw)
+            & (jnp.abs(hit[..., 1] - cy) < hh)
+            & (t_o > 0.0)
+        )
+        tex = _texture((hit[..., 0] - cx) * 6.0 + 9.0, hit[..., 1] * 6.0 + 4.0)
+        return inside, t_o, tex
+
+    fidx = jnp.arange(num_frames, dtype=jnp.float32)
+    inside, t_o, tex = jax.vmap(render_obj)(base.extrinsics, base.intrinsics, fidx)
+    # the object occludes the plane where it is closer
+    occ = inside & (t_o < base.depth)
+    depth = jnp.where(occ, t_o, base.depth)
+    images = jnp.where(occ[..., None], tex, base.images)
+    return DynamicGoldenScene(
+        images=images,
+        depth=depth,
+        extrinsics=base.extrinsics,
+        intrinsics=base.intrinsics,
+        pairs=base.pairs,
+        static_mask=~occ,
+    )
+
+
+def dynamic_solver_gate(tiny: bool = False, rng_seed: int = 0) -> dict:
+    """End-to-end gate for the DYNAMIC solver machinery: a moving textured
+    object (dynamic mask -> constraint exclusion + AdaptiveDeformationCost),
+    scene-flow triplet smoothness over consecutive frames, and a nonzero
+    ground-truth spatial distortion that the deferred bicubic spatial
+    optimization must recover (reference lib/PoseOptimizer.cpp:321-423
+    SceneFlowSmoothnessLoss, :536-656 AdaptiveDeformationCost, :874-887
+    deferredSpatialOpt).
+
+    Corruption: per-frame depth scales + a smooth bilinear NDC warp applied
+    to every constraint observation (like lens distortion). The solver runs
+    with adaptive deformation, triplet smoothness, and deferred spatial opt;
+    scored by photo-consistency over STATIC pixels (gap closed vs the
+    ground-truth floor) plus direct spatial-warp recovery.
+    """
+    from .camera import pose_params_to_camera, quat_to_matrix
+    from .config import PoseOptParams
+    from .solver import pose_opt, xforms
+    from .solver.pose_opt import PoseOptInputs
+    from .solver.residuals import ConstraintData, TripletData
+    from .solver.xforms import GridSpec
+
+    scene = golden_scene_dynamic(
+        num_frames=6 if tiny else 8, shape=(48, 64) if tiny else (96, 128)
+    )
+    N = int(scene.images.shape[0])
+    H, W = scene.depth.shape[1:]
+    aspect = W / H
+    rng = np.random.default_rng(rng_seed)
+    frame_scale = rng.uniform(0.7, 1.4, N).astype(np.float32)
+    corrupted = scene.depth * jnp.asarray(1.0 / frame_scale)[:, None, None]
+    static = np.asarray(scene.static_mask)
+
+    # ground-truth distortion: bilinear NDC displacement from 4 corner
+    # handles (~1 px) — representable exactly by the solver's bicubic grid
+    corners = rng.uniform(-0.018, 0.018, (2, 2, 2)).astype(np.float32)
+
+    def distort(loc):
+        """loc (..., 2) NDC -> loc + w(loc), bilinear in (x, y)."""
+        u = (loc[..., 0] + 1.0) / 2.0
+        v = (1.0 - loc[..., 1]) / 2.0  # NDC y is up; corners row 0 = top
+        w = (
+            corners[0, 0] * ((1 - u) * (1 - v))[..., None]
+            + corners[0, 1] * (u * (1 - v))[..., None]
+            + corners[1, 0] * ((1 - u) * v)[..., None]
+            + corners[1, 1] * (u * v)[..., None]
+        )
+        return loc + w, w
+
+    def to_ndc(x, y):
+        return np.stack(
+            [x / (W - 1) * 2 - 1, -(y / (H - 1) * 2 - 1)], -1
+        ).astype(np.float32)
+
+    def sample_static_px(count, frames, margin=2):
+        """Pixel coords static (with margin) in every frame of `frames`."""
+        ok_mask = np.ones((H, W), bool)
+        for f in frames:
+            m = static[f]
+            # erode by `margin` via min-filter
+            for _ in range(margin):
+                m = (
+                    m[:-2, 1:-1] & m[2:, 1:-1] & m[1:-1, :-2] & m[1:-1, 2:]
+                    & m[1:-1, 1:-1]
+                )
+                m = np.pad(m, 1, constant_values=False)
+            ok_mask &= m
+        ys, xs = np.nonzero(
+            ok_mask[3 : H - 3, 3 : W - 3]
+        )
+        idx = rng.choice(len(ys), size=count, replace=len(ys) < count)
+        return xs[idx] + 3.0, ys[idx] + 3.0
+
+    def gt_project(f_from, f_to, x, y):
+        """GT reprojection of pixels (x, y) in f_from into f_to; returns
+        (pix_to (C, 2), depth_from (C,), depth_to (C,))."""
+        d0 = np.asarray(scene.depth[f_from])[
+            np.round(y).astype(int), np.round(x).astype(int)
+        ]
+        pix = jnp.asarray(np.stack([x, y], -1), jnp.float32)
+        pts = geometry.pixels_to_points(
+            scene.intrinsics[f_from][None, :], jnp.asarray(d0), pix
+        )
+        pts_j = geometry.reproject_points(
+            pts, scene.extrinsics[f_from][None], scene.extrinsics[f_to][None]
+        )
+        pix_j = np.asarray(geometry.project(pts_j, scene.intrinsics[f_to][None, :]))
+        return pix_j, d0, np.asarray(-pts_j[..., 2])
+
+    # ---- pair constraints (static, distorted observations) ---------------
+    pairs = scene.pairs
+    pair = np.asarray(pairs, np.int32)
+    P, C = len(pairs), 32 if tiny else 64
+    loc0 = np.zeros((P, C, 2), np.float32)
+    loc1 = np.zeros((P, C, 2), np.float32)
+    depth0 = np.zeros((P, C), np.float32)
+    depth1 = np.zeros((P, C), np.float32)
+    for p, (i, j) in enumerate(pairs):
+        xs, ys = sample_static_px(C, (i, j))
+        pix_j, d0, d1 = gt_project(i, j, xs, ys)
+        loc0[p] = to_ndc(xs, ys)
+        loc1[p] = to_ndc(pix_j[:, 0], pix_j[:, 1])
+        depth0[p] = d0 / frame_scale[i]
+        depth1[p] = d1 / frame_scale[j]
+    loc0_d, _ = distort(loc0)
+    loc1_d, _ = distort(loc1)
+    data = ConstraintData(
+        pair=jnp.asarray(pair),
+        loc0=jnp.asarray(loc0_d),
+        loc1=jnp.asarray(loc1_d),
+        depth0=jnp.asarray(depth0),
+        depth1=jnp.asarray(depth1),
+        weight=jnp.ones((P, C), jnp.float32),
+    )
+
+    # ---- triplet constraints (scene-flow smoothness) ----------------------
+    centers = list(range(1, N - 1))
+    T, Ct = len(centers), 24 if tiny else 48
+    tloc = np.zeros((T, Ct, 3, 2), np.float32)
+    tdepth = np.zeros((T, Ct, 3), np.float32)
+    for t, f in enumerate(centers):
+        xs, ys = sample_static_px(Ct, (f - 1, f, f + 1))
+        pix_b, d_c, d_b = gt_project(f, f - 1, xs, ys)
+        pix_f, _, d_f = gt_project(f, f + 1, xs, ys)
+        tloc[t, :, 0] = to_ndc(pix_b[:, 0], pix_b[:, 1])
+        tloc[t, :, 1] = to_ndc(xs, ys)
+        tloc[t, :, 2] = to_ndc(pix_f[:, 0], pix_f[:, 1])
+        tdepth[t, :, 0] = d_b / frame_scale[f - 1]
+        tdepth[t, :, 1] = d_c / frame_scale[f]
+        tdepth[t, :, 2] = d_f / frame_scale[f + 1]
+    tloc_d, _ = distort(tloc)
+    triplets = TripletData(
+        frame=jnp.asarray(np.asarray(centers, np.int32)),
+        loc=jnp.asarray(tloc_d),
+        depth=jnp.asarray(tdepth),
+        weight=jnp.ones((T, Ct), jnp.float32),
+    )
+
+    med = jnp.asarray(
+        np.median(np.asarray(corrupted).reshape(N, -1), 1).astype(np.float32)
+    )
+    inputs = PoseOptInputs(
+        data=data,
+        median_depth=med,
+        aspect=aspect,
+        num_frames=N,
+        triplets=triplets,
+        dynamic_mask=(static * 255).astype(np.uint8),  # white = static
+    )
+    opt = PoseOptParams(
+        num_steps=2 if tiny else 3,
+        ctf_long=3 if tiny else 5,
+        ctf_short=2 if tiny else 3,
+        lm_max_outer=6 if tiny else 12,
+        lm_cg_iters=12 if tiny else 24,
+        graduate_deformation_regularization=True,
+        smooth_static_weight=0.5,
+        adaptive_deformation_cost=1.0,
+        deferred_spatial_opt=True,
+        dso_long=4,
+        dso_short=3,
+    )
+    solved = pose_opt.run(opt, inputs)
+
+    gz, gy, gx = solved.depth_grid.shape[1:]
+    scales = jax.vmap(
+        lambda g, d: xforms.depth_param_map(
+            g, GridSpec(gx=gx, gy=gy, gz=gz), (H, W), d
+        )
+    )(solved.depth_grid, corrupted)
+    corrected = corrupted * scales
+    cam = pose_params_to_camera(solved.pose, solved.focal, aspect)
+    Rm = jax.vmap(quat_to_matrix)(cam.quaternion)
+    ext = jnp.concatenate([Rm, cam.position[:, :, None]], axis=2)
+    intr = geometry.intrinsics_px(cam.vfov, cam.hfov, (H, W))
+
+    # eval masks: static in i AND (GT-warped) static in j
+    masks = []
+    for (i, j) in pairs:
+        uv = geometry.warping_field(
+            scene.extrinsics[i], scene.intrinsics[i], scene.depth[i],
+            scene.extrinsics[j], scene.intrinsics[j],
+        )
+        sj = geometry.grid_sample(
+            jnp.asarray(static[j], jnp.float32)[..., None], uv
+        )[..., 0]
+        masks.append(jnp.asarray(static[i], jnp.float32) * (sj > 0.99))
+    masks = jnp.stack(masks)
+
+    def m(depth, e=None, i=None):
+        return float(
+            clip_photo_consistency(
+                scene.images, depth,
+                scene.extrinsics if e is None else e,
+                scene.intrinsics if i is None else i,
+                scene.pairs, masks=masks,
+            ).l1
+        )
+
+    gt, bad = m(scene.depth), m(corrupted)
+    solved_err = m(corrected, ext, intr)
+
+    # spatial-warp recovery: the solver's warp should be ≈ -w(gt) so that
+    # distorted observations map back to their true locations
+    pix_ndc = jnp.stack(
+        jnp.meshgrid(
+            jnp.linspace(-1, 1, W), jnp.linspace(1, -1, H)
+        ),
+        axis=-1,
+    )
+    _, w_gt = distort(np.asarray(pix_ndc))
+    sy, sx = solved.spatial_grid.shape[1:3]
+    warp_maps = jax.vmap(
+        lambda g: xforms.spatial_warp_map(g, cubic=sx > 2 or sy > 2, shape=(H, W))
+    )(solved.spatial_grid)
+    resid = float(jnp.mean(jnp.abs(warp_maps + jnp.asarray(w_gt)[None])))
+    w_mag = float(np.mean(np.abs(w_gt)))
+    return {
+        "photo_consistency_gt_l1_dynamic": round(gt, 6),
+        "photo_consistency_corrupted_l1_dynamic": round(bad, 6),
+        "photo_consistency_solved_l1_dynamic": round(solved_err, 6),
+        "quality_gap_closed_dynamic": round(
+            float(1.0 - (solved_err - gt) / max(bad - gt, 1e-9)), 4
+        ),
+        "spatial_warp_recovery": round(1.0 - resid / max(w_mag, 1e-9), 4),
+    }

@@ -170,3 +170,30 @@ def test_solver_recovers_photo_consistency(yaw):
     assert solved_err < gt_err + 0.4 * (bad_err - gt_err), (
         gt_err, bad_err, solved_err,
     )
+
+
+def test_dynamic_scene_masks_and_depth():
+    """The dynamic golden scene: object pixels are marked non-static, the
+    object is closer than the plane where visible, and it MOVES (masks
+    differ across frames)."""
+    sc = quality.golden_scene_dynamic(num_frames=4, shape=(48, 64))
+    m = np.asarray(sc.static_mask)
+    frac_dyn = (~m).mean(axis=(1, 2))
+    assert (frac_dyn > 0.01).all() and (frac_dyn < 0.5).all(), frac_dyn
+    assert (np.asarray(sc.depth)[~m] < 2.5).all()  # object closer than plane
+    assert (m[0] != m[-1]).any()  # it moves
+    # static pixels are exactly the base scene
+    base = quality.golden_scene(num_frames=4, shape=(48, 64))
+    np.testing.assert_allclose(
+        np.asarray(sc.depth)[m], np.asarray(base.depth)[m], rtol=1e-6
+    )
+
+
+def test_dynamic_solver_gate_closes_gap():
+    """The full dynamic machinery (dynamic-mask exclusion + adaptive
+    deformation + triplet smoothness + deferred spatial opt) must close
+    most of the photo-consistency gap AND recover most of the ground-truth
+    spatial distortion (round-4 VERDICT #7)."""
+    res = quality.dynamic_solver_gate(tiny=True)
+    assert res["quality_gap_closed_dynamic"] > 0.85, res
+    assert res["spatial_warp_recovery"] > 0.5, res

@@ -93,16 +93,27 @@ class PoseOptParams:
     # LM solver knobs (new; no reference equivalent — Ceres internals).
     lm_lambda_init: float = 1e-3
     lm_max_outer: int = 50
-    lm_cg_iters: int = 64
+    # CG cap 42 with the exact-diag preconditioner (was plain cg64):
+    # round-4 TPU wall-clock on the real 100-frame cold solve
+    # (tools/precond_wallclock.py, PERF.md round-4 preconditioner section):
+    # plain cg64 5.82 s -> exact cg42 4.40 s (-24%) at exact scale
+    # recovery; quality at 2/3 caps with the exact diag matches plain at
+    # full caps on the golden-scene gap harness (tools/cap_sweep.py,
+    # round 3: exact-cg8 0.939 ~= plain-cg12 0.935, equal caps
+    # equal-or-better).
+    lm_cg_iters: int = 42
     lm_rtol: float = 1e-6
     # Jacobi-preconditioned CG: Hutchinson probes per outer iteration for
-    # the diag(J^T J) estimate; 0 = plain CG (default until the
-    # cg-iteration-cap retune is validated on TPU, PERF.md "Next levers")
+    # the diag(J^T J) estimate; 0 = plain CG (the exact diagonal below
+    # measured strictly stronger — the estimate is kept for problems where
+    # the analytic diagonal is unavailable)
     lm_precond_probes: int = 0
     # EXACT diag(J^T J) Jacobi preconditioning (residuals.py build_diag_fn,
-    # assembled from the residual structure — stronger than the Hutchinson
-    # estimate and costs ~3 extra residual evaluations per outer iteration)
-    lm_precond_exact: bool = False
+    # assembled from the residual structure). Default ON for COLD solves
+    # since round 4 (wall-clock evidence above); warm epoch re-solves
+    # force it OFF (pose_opt._warm_run) — warm starts sit near the optimum
+    # where conditioning no longer binds (tools/warm_cap_sweep.py).
+    lm_precond_exact: bool = True
     # Warm-start epoch re-solves from the previous solution at final grid
     # resolution instead of reset + normalize + full coarse-to-fine (the
     # reference resets every epoch; equivalence validated on the synthetic

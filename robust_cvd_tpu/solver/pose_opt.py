@@ -381,6 +381,11 @@ def _warm_run(
         opt,
         lm_max_outer=opt.lm_warm_max_outer,
         lm_cg_iters=min(opt.lm_cg_iters, opt.lm_warm_cg_iters),
+        # the exact-diag preconditioner does not help warm re-solves (they
+        # start near the optimum, where conditioning no longer binds —
+        # tools/warm_cap_sweep.py measured 0.4896 <= plain at equal caps);
+        # its ~3-residual-eval build per outer would be pure overhead here
+        lm_precond_exact=False,
     )
     sy, sx = initial.spatial_grid.shape[1:3]
     spatial_cubic = sx > 2 or sy > 2

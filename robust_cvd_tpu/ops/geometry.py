@@ -297,6 +297,19 @@ def _gs_mxu_bwd(res, ct):
 grid_sample_mxu.defvjp(_gs_mxu_fwd, _gs_mxu_bwd)
 
 
+def grid_sample_auto(data: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Backend-gated sampling: the separable MXU contraction on TPU (where
+    per-element gathers run ~0.3 G taps/s and the contraction wins by >4x —
+    PERF.md round 4), the exact gather forward + matmul backward on CPU
+    (1 core, no MXU, and the bf16 dot is unsupported). Sampled values carry
+    ~2^-8 relative rounding on TPU — use where bf16 data precision is
+    acceptable (loss stacks, image pre-warps feeding bf16 networks), not
+    for byte-exact outputs."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return grid_sample_mxu(data, uv)
+    return grid_sample_matmul(data, uv)
+
+
 def warping_field(
     extrinsics: jnp.ndarray,
     intrinsics: jnp.ndarray,

@@ -189,22 +189,64 @@ def _nms_topk(resp: jnp.ndarray, k: int, border: int = 8):
     return xs, ys, vals > 1e-8
 
 
+def _extract_patches_onehot(pad: jnp.ndarray, xi: jnp.ndarray,
+                            yi: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Window extraction as two one-hot contractions (B, Hp, Wp) +
+    top-left integer corners (B, K) -> (B, K, size*size). Selectors are
+    exact {0,1}; bf16 rounds only the image values, f32-accumulated."""
+    B, Hp, Wp = pad.shape
+    K = xi.shape[1]
+    offs = jnp.arange(size, dtype=jnp.int32)
+    rows = (yi[:, :, None] + offs[None, None, :]).reshape(B, K * size)
+    R = (
+        rows[..., None] == jnp.arange(Hp, dtype=jnp.int32)
+    ).astype(jnp.bfloat16)
+    T = jnp.einsum(
+        "bkh,bhw->bkw", R, pad.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).reshape(B, K, size, Wp)
+    cols = xi[:, :, None] + offs[None, None, :]  # (B, K, size)
+    C = (
+        cols[..., None] == jnp.arange(Wp, dtype=jnp.int32)
+    ).astype(jnp.bfloat16)
+    return jnp.einsum(
+        "bkiw,bkjw->bkij", T.astype(jnp.bfloat16), C,
+        preferred_element_type=jnp.float32,
+    ).reshape(B, K, size * size)
+
+
 def _patch_descriptors_b(gray: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray):
     """(B, H, W) + keypoints (B, K) -> unit-norm patch descriptors
-    (B, K, (2r+1)^2)."""
+    (B, K, (2r+1)^2).
+
+    On TPU the 15x15 windows are extracted as two one-hot contractions
+    (row-selector matmul, then per-keypoint column contraction) instead of
+    (2r+1)^2 scalar gathers per keypoint — the same gather-vs-MXU trade as
+    grid_sample_mxu (PERF.md round 4: TPU per-element gathers run
+    ~0.3 G taps/s). One-hot selectors are exact {0,1}; bf16 rounds only the
+    image values (~2^-8 relative), which the zero-mean unit-norm
+    normalization makes irrelevant to match ordering. CPU keeps the exact
+    gather path."""
     r = _PATCH_RADIUS
     size = 2 * r + 1
     pad = jnp.pad(gray, ((0, 0), (r, r), (r, r)), mode="edge")
-    dy, dx = jnp.meshgrid(jnp.arange(size), jnp.arange(size), indexing="ij")
-    offs_y = dy.reshape(-1)[None, None, :]  # (1, 1, P)
-    offs_x = dx.reshape(-1)[None, None, :]
-    yy = ys.astype(jnp.int32)[:, :, None] + offs_y  # (B, K, P); +r-r cancels
-    xx = xs.astype(jnp.int32)[:, :, None] + offs_x
+    yi = ys.astype(jnp.int32)  # top-left row in padded coords (+r-r cancels)
+    xi = xs.astype(jnp.int32)
 
-    def gather(g, y, x):
-        return g[y, x]
+    if jax.default_backend() in ("tpu", "axon"):
+        patches = _extract_patches_onehot(pad, xi, yi, size)
+    else:
+        dy, dx = jnp.meshgrid(jnp.arange(size), jnp.arange(size), indexing="ij")
+        offs_y = dy.reshape(-1)[None, None, :]  # (1, 1, P)
+        offs_x = dx.reshape(-1)[None, None, :]
+        yy = yi[:, :, None] + offs_y  # (B, K, P)
+        xx = xi[:, :, None] + offs_x
 
-    patches = jax.vmap(gather)(pad, yy, xx)  # (B, K, P)
+        def gather(g, y, x):
+            return g[y, x]
+
+        patches = jax.vmap(gather)(pad, yy, xx)  # (B, K, P)
+
     patches = patches - patches.mean(axis=-1, keepdims=True)
     n = jnp.linalg.norm(patches, axis=-1, keepdims=True)
     return patches / jnp.maximum(n, 1e-8)
@@ -358,11 +400,14 @@ def _register_batch(im1: jnp.ndarray, im2: jnp.ndarray, sel: jnp.ndarray,
     eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
     H_BA = jnp.where(ok[:, None, None], H_fit, eye)
 
-    # inverse-warp im2 through H_BA (cv2.warpPerspective semantics)
+    # inverse-warp im2 through H_BA (cv2.warpPerspective semantics). The
+    # registered frame feeds the (bf16) RAFT net, so the backend-gated
+    # MXU sampling's ~2^-8 value rounding is immaterial — and the gather
+    # was 4.4 of the 12 ms/pair program (PERF.md round 4).
     Hinv = jnp.linalg.inv(H_BA)
     pix = geometry.pixel_grid((H, W)).reshape(-1, 2)
     src = _apply_h_j(Hinv[:, None], pix[None, None])[:, 0].reshape(B, H, W, 2)
-    reg = jax.vmap(geometry.grid_sample)(im2, src)
+    reg = jax.vmap(geometry.grid_sample_auto)(im2, src)
     return H_BA, reg
 
 

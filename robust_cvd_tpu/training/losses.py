@@ -116,14 +116,9 @@ def weighted_mean(x, w, eps: float = 1e-6):
 #     f32-accumulated); the golden-scene quality gate is the acceptance
 #     criterion (bench.py, PERF.md round 4).
 # On CPU (tests, no MXU, 1 core) the dense contraction is the WORSE trade
-# and bf16 dots are unsupported anyway: keep the exact gather forward there.
-def _grid_sample_auto(data, uv):
-    if jax.default_backend() in ("tpu", "axon"):
-        return geometry.grid_sample_mxu(data, uv)
-    return geometry.grid_sample_matmul(data, uv)
-
-
-_GRID_SAMPLE = _grid_sample_auto
+# and bf16 dots are unsupported anyway: geometry.grid_sample_auto gates on
+# the backend.
+_GRID_SAMPLE = geometry.grid_sample_auto
 
 
 def _sample_chw(data, uv):

@@ -87,3 +87,34 @@ def test_dlt4_degenerate_is_harmless():
     pts = np.zeros((1, 4, 2), np.float32)  # fully degenerate quad
     out = np.asarray(H._dlt4(jnp.asarray(pts), jnp.asarray(pts)))
     assert out.shape == (1, 3, 3)  # NaN/Inf allowed, shape intact
+
+
+def test_onehot_patch_extraction_matches_gather():
+    """The TPU one-hot-contraction window extraction must reproduce the
+    gather path (one-hot selectors are exact; only the image values pass
+    through bf16)."""
+    import jax.numpy as jnp
+
+    from robust_cvd_tpu.ops.homography import _extract_patches_onehot
+
+    rng = np.random.default_rng(4)
+    B, H, W, K, r = 2, 20, 26, 5, 3
+    size = 2 * r + 1
+    gray = rng.uniform(0, 1, (B, H, W)).astype(np.float32)
+    pad = np.pad(gray, ((0, 0), (r, r), (r, r)), mode="edge")
+    xi = rng.integers(0, W, (B, K)).astype(np.int32)
+    yi = rng.integers(0, H, (B, K)).astype(np.int32)
+
+    got = np.asarray(
+        _extract_patches_onehot(jnp.asarray(pad), jnp.asarray(xi),
+                                jnp.asarray(yi), size)
+    )
+    want = np.stack([
+        np.stack([
+            pad[b, yi[b, k]: yi[b, k] + size,
+                xi[b, k]: xi[b, k] + size].reshape(-1)
+            for k in range(K)
+        ])
+        for b in range(B)
+    ])
+    np.testing.assert_allclose(got, want, atol=6e-3)  # bf16 image rounding

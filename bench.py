@@ -303,7 +303,6 @@ def main():
         jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 3))
     )["params"]
 
-    @jax.jit
     def mask_frame(params, img):
         net_in = jax.image.resize(img, (th, tw, 3), "bilinear")
         x = jnp.zeros((1, ph, pw, 3), jnp.float32).at[0, :th, :tw].set(net_in)
@@ -311,10 +310,18 @@ def main():
         m = dynamic_mask_from_detections(det, (ph, pw), 0.5)[:th, :tw]
         return jax.image.resize(m.astype(jnp.float32), (H, W), "bilinear")
 
+    # two frames per dispatch, like the pipeline (pipeline/masks.py): the
+    # NMS/ROI fori_loops are serial latency-bound, so a vmapped second
+    # frame rides along nearly free and the dispatch overhead amortizes
+    FB = 2
+    mask_frames = jax.jit(
+        lambda params, imgs: jax.vmap(lambda im: mask_frame(params, im))(imgs)
+    )
+
     def mask_pass():
         acc = 0.0
-        for i in range(NUM_FRAMES):
-            acc = acc + mask_frame(rcnn_params, images[i]).sum()
+        for s in range(0, NUM_FRAMES, FB):
+            acc = acc + mask_frames(rcnn_params, images[s : s + FB]).sum()
         return float(acc)
 
     mask_pass()  # warm

@@ -44,7 +44,7 @@ def _cmask_traced(im_ref, im_tgt, flow, threshold):
     All (H, W, C)/(H, W, 2); traced, composable under vmap/jit."""
     import jax.numpy as jnp
 
-    from ..ops.geometry import grid_sample, pixel_grid
+    from ..ops.geometry import grid_sample_auto, pixel_grid
 
     H, W = im_ref.shape[:2]
     target = pixel_grid((H, W)) + flow
@@ -54,7 +54,7 @@ def _cmask_traced(im_ref, im_tgt, flow, threshold):
         & (target[..., 1] >= 0)
         & (target[..., 1] <= H - 1)
     )
-    warped = grid_sample(im_ref_shape3(im_tgt), target)
+    warped = grid_sample_auto(im_ref_shape3(im_tgt), target)
     diff = jnp.sum((im_ref_shape3(im_ref) - warped) ** 2, axis=-1)
     return inb & (diff < threshold)
 
@@ -73,7 +73,12 @@ def _pair_masks_traced(flow01, flow10, color0, color1, flow_thresh, color_thresh
     C = color0.shape[-1]
 
     def one_way(flow_fwd, flow_rev, c_ref, c_tgt):
-        from ..ops.geometry import grid_sample, pixel_grid
+        # grid_sample_auto: MXU contraction on TPU (the gathers dominate
+        # this program — PERF.md round 4); its bf16 value rounding only
+        # flips threshold-boundary pixels of the comparison masks, the
+        # same tolerance the mesh-equivalence tests already grant.
+        from ..ops.geometry import grid_sample_auto as grid_sample
+        from ..ops.geometry import pixel_grid
 
         H, W = flow_fwd.shape[:2]
         target = pixel_grid((H, W)) + flow_fwd

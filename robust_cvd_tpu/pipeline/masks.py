@@ -214,10 +214,25 @@ def compute_dynamic_masks_rcnn(
                 wrote_any = True
         return wrote_any
 
-    one_frame = jax.jit(lambda img: frame_body({"params": params}, img))
-    for i in missing:
-        out = pjoin(out_dir, frame_name(i, ".png"))
-        dyn = _dilate(np.asarray(one_frame(jnp.asarray(images[i]))), dilate)
-        save_png_gray(out, (~dyn).astype(np.uint8) * 255)
-        wrote_any = True
+    # Two frames per dispatch: the NMS / ROI fori_loops are serial
+    # latency-bound (1000 tiny sequential steps), so vmapping a second
+    # frame through the same program is nearly free, and the ~6 ms tunnel
+    # dispatch overhead amortizes (measured 43 -> ~31 ms/frame, PERF.md
+    # round 4). Larger batches trade against backbone activation memory at
+    # 800px.
+    FB = 2
+    two_frames = jax.jit(
+        lambda imgs: jax.vmap(lambda im: frame_body({"params": params}, im))(imgs)
+    )
+    for s in range(0, len(missing), FB):
+        chunk = missing[s : s + FB]
+        idx = chunk + [chunk[-1]] * (FB - len(chunk))
+        dyns = np.asarray(two_frames(jnp.asarray(images[idx])))
+        for k, i in enumerate(chunk):
+            dyn = _dilate(dyns[k], dilate)
+            save_png_gray(
+                pjoin(out_dir, frame_name(i, ".png")),
+                (~dyn).astype(np.uint8) * 255,
+            )
+            wrote_any = True
     return wrote_any

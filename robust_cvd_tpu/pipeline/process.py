@@ -101,8 +101,16 @@ class DatasetProcessor:
         store = VideoStore.open(cfg.path)
         store.print_info()  # reference DepthVideo::printInfo
 
+        # model load/convert is timed apart from inference so the
+        # bench<->CLI stage reconciliation (PERF.md) can separate one-time
+        # host costs (torch checkpoint load + layout conversion on the
+        # 1-core host) from device compute
+        with tracer.span("load_models"):
+            depth_model = self._depth_model()
+            self._flow_model_pair()
+
         with tracer.span("compute_initial_depth"):
-            depth = compute_initial_depth(store, self._depth_model(), cfg.model_type)
+            depth = compute_initial_depth(store, depth_model, cfg.model_type)
 
         flow_stage = FlowStage(store, *self._flow_model_pair())
         index_pairs = flow_stage.sample_index_pairs(cfg.flow_ops, meta.num_frames)
@@ -144,6 +152,9 @@ class DatasetProcessor:
 
         out = self.out_dir(store.num_frames)
         os.makedirs(out, exist_ok=True)
+        # fine-tune sub-stage breakdown for the bench reconciliation
+        for name, sec in getattr(tuner, "stats", {}).items():
+            tracer.spans.append({"name": f"fine_tune/{name}", "sec": sec})
         tracer.save(pjoin(out, "stage_timings.json"))
         return store
 

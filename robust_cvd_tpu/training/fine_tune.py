@@ -514,6 +514,12 @@ class FineTuner:
         self.solver_params: Optional[SolverParams] = None
         self.eval_fn = None
         self.history: List[Dict] = []
+        # wall-clock breakdown for the bench<->CLI reconciliation
+        # (PERF.md round 4): device compute vs persistence IO
+        self.stats: Dict[str, float] = {
+            "pose_opt_s": 0.0, "train_steps_s": 0.0, "refresh_s": 0.0,
+            "persist_io_s": 0.0,
+        }
         self.writer = None
         tb_dir = cfg.ft.tensorboard_log_path or cfg.ft.log_dir
         if not tb_dir and out_dir is not None:
@@ -531,6 +537,7 @@ class FineTuner:
                 self.writer = None
 
     def optimize_poses(self):
+        t0 = time.perf_counter()
         self.solver_params = pose_opt.run(
             self.cfg.opt, self.pose_inputs, initial=self.solver_params
         )
@@ -538,6 +545,8 @@ class FineTuner:
         self.pose_state = pose_state_from_solver(
             self.solver_params, shape, self.pose_inputs.aspect, self.clip.depth_orig
         )
+        jax.block_until_ready(self.pose_state.extrinsics)
+        self.stats["pose_opt_s"] += time.perf_counter() - t0
         if self.mesh is not None:
             # The SPMD solve leaves its outputs in whatever partitioned
             # layout XLA chose; re-commit the (tiny) pose state replicated
@@ -548,8 +557,10 @@ class FineTuner:
         if self.pose is not None:
             # persist camera state + transforms + video.dat after every pose
             # opt (reference pose_optimization.py:240 depth_video.save())
+            t1 = time.perf_counter()
             self.pose.solver_params = self.solver_params
             self.pose.save()
+            self.stats["persist_io_s"] += time.perf_counter() - t1
 
     def run(self, num_epochs: Optional[int] = None):
         import os
@@ -568,6 +579,14 @@ class FineTuner:
             B = min(ft.batch_size * self.n_mesh, P) // self.n_mesh * self.n_mesh
         inter_freq = ft.save_intermediate_depth_streams_freq
         persist = self.pose is not None and self.out_dir is not None
+
+        import contextlib
+
+        @contextlib.contextmanager
+        def persist_io():
+            t = time.perf_counter()
+            yield
+            self.stats["persist_io_s"] += time.perf_counter() - t
         use_solver = self.cfg.recon == "i3d"
 
         if use_solver:
@@ -583,14 +602,17 @@ class FineTuner:
         # depth_fine_tuning.py:360-365: depth_e0000 with intermediate streams
         # on, else the single fine_tuned stream dir)
         if persist:
-            if inter_freq > 0:
-                self.pose.duplicate_last_depth_stream(
-                    "e0000", pjoin(self.out_dir, "depth_e0000")
-                )
-            else:
-                # the fine_tuned stream lives at the experiment dir itself
-                # (reference depth_fine_tuning.py:363-365 passes out_dir)
-                self.pose.duplicate_last_depth_stream("fine_tuned", self.out_dir)
+            with persist_io():
+                if inter_freq > 0:
+                    self.pose.duplicate_last_depth_stream(
+                        "e0000", pjoin(self.out_dir, "depth_e0000")
+                    )
+                else:
+                    # the fine_tuned stream lives at the experiment dir
+                    # itself (reference depth_fine_tuning.py:363-365)
+                    self.pose.duplicate_last_depth_stream(
+                        "fine_tuned", self.out_dir
+                    )
 
         if ft.val_epoch_freq >= 0:
             self.validate(0, 0)
@@ -650,6 +672,7 @@ class FineTuner:
                     )
                 total_iters += int(ids.shape[0])
             mean_loss = float(jnp.mean(jnp.concatenate(epoch_losses)))
+            self.stats["train_steps_s"] += time.perf_counter() - t0
             self.history.append(
                 {"epoch": epoch, "loss": mean_loss, "sec": time.perf_counter() - t0}
             )
@@ -708,19 +731,26 @@ class FineTuner:
                 # depth_fine_tuning.py:576-579 save_depth)
                 self.refresh_depth()
                 if persist:
-                    self.pose.save_depth_to_last_stream(np.asarray(self.current_depth))
+                    with persist_io():
+                        self.pose.save_depth_to_last_stream(
+                            np.asarray(self.current_depth)
+                        )
 
             if use_solver and (epoch + 1) % max(1, self.cfg.ft.pose_opt_freq) == 0:
                 if persist and inter_freq > 0:
-                    self.pose.duplicate_last_depth_stream(
-                        f"e{epoch:04d}_opt",
-                        pjoin(self.out_dir, f"depth_e{epoch:04d}_opt"),
-                    )
+                    with persist_io():
+                        self.pose.duplicate_last_depth_stream(
+                            f"e{epoch:04d}_opt",
+                            pjoin(self.out_dir, f"depth_e{epoch:04d}_opt"),
+                        )
                 if not save_inter:
                     self.refresh_depth()
                 self.optimize_poses()
                 if persist and save_inter:
-                    self.pose.save_depth_to_last_stream(np.asarray(self.current_depth))
+                    with persist_io():
+                        self.pose.save_depth_to_last_stream(
+                            np.asarray(self.current_depth)
+                        )
 
             if (
                 persist and inter_freq > 0
@@ -739,7 +769,10 @@ class FineTuner:
 
         self.refresh_depth()
         if persist:
-            self.pose.save_depth_to_last_stream(np.asarray(self.current_depth))
+            with persist_io():
+                self.pose.save_depth_to_last_stream(
+                    np.asarray(self.current_depth)
+                )
 
         if self.cfg.post_filter and self.pose is not None:
             self.pose.filter_depth(self.cfg.filter_radius)
@@ -890,6 +923,7 @@ class FineTuner:
         """Re-infer depth for the whole clip with the current weights and
         refresh the pose-opt inputs' source depths (the reference re-saves
         the depth stream and the C++ side reloads it)."""
+        t0 = time.perf_counter()
         depth = self.infer_depth()
 
         # One jitted device program: per-frame median (scale regularizer)
@@ -935,6 +969,8 @@ class FineTuner:
             median_depth=med,
         )
         self.current_depth = depth
+        jax.block_until_ready(depth)
+        self.stats["refresh_s"] += time.perf_counter() - t0
 
     # -- evaluation / persistence artifacts ---------------------------------
 

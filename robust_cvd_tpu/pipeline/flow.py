@@ -298,13 +298,21 @@ class FlowStage:
         if self.model is None:
             raise RuntimeError("RAFT model required to compute missing flow")
 
+        # commit the RAFT weights once — as host numpy they would re-upload
+        # ~20 MB per chunk dispatch (see masks.py for the measured version
+        # of this disease)
+        self.variables = jax.device_put(self.variables)
+
         flow_dir = pjoin(self.store.base_dir, "color_flow")
         down = self.store.load_color_down()
         dh, dw = down.shape[1:3]
 
+        # variables as explicit jit arguments (closure constants get baked
+        # into the lowered program — cache-unfriendly on the remote-compile
+        # backend)
         @jax.jit
-        def run(im1, im2):
-            return self.model.apply(self.variables, im1, im2)
+        def run(variables, im1, im2):
+            return self.model.apply(variables, im1, im2)
 
         from ..ops import homography as hg
 
@@ -378,7 +386,7 @@ class FlowStage:
                 else:
                     Hs_d = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
                     im2_d = jnp.asarray(im2, jnp.float32)
-                flows_reg = run(im1_d * 255.0, im2_d * 255.0)
+                flows_reg = run(self.variables, im1_d * 255.0, im2_d * 255.0)
                 flows_down = _postproc_fn()(
                     flows_reg, Hs_d, (dh, dw), self.homography
                 )

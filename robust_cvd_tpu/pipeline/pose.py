@@ -451,32 +451,41 @@ class PoseOptimizer:
 
         down = store.load_color_down()
         dh, dw = down.shape[1:3]
+        # One bulk device->host transfer per array. Indexing the committed
+        # jax arrays per frame costs a full device round-trip EACH (~25 ms
+        # through the tunnel backend); at 100 frames x 5 fields that made
+        # every save() ~13 s of pure readbacks.
+        vfov = np.asarray(cam.vfov, float)
+        hfov = np.asarray(cam.hfov, float)
+        position = np.asarray(cam.position, float)
+        quaternion = np.asarray(cam.quaternion, float)
+        depth_grid = np.asarray(sp.depth_grid, np.float64).reshape(N, -1)
+        depth_shift = (
+            None
+            if sp.depth_shift is None
+            else np.asarray(sp.depth_shift, np.float64).reshape(N, -1)
+        )
+        spatial_grid = np.asarray(sp.spatial_grid, np.float64).reshape(N, -1)
         frames = []
         for i in range(N):
             frames.append(
                 vd.DepthFrameInfo(
-                    vfov=float(cam.vfov[i]),
-                    hfov=float(cam.hfov[i]),
-                    position=tuple(np.asarray(cam.position[i], float)),
-                    quaternion=tuple(np.asarray(cam.quaternion[i], float)),
+                    vfov=float(vfov[i]),
+                    hfov=float(hfov[i]),
+                    position=tuple(position[i]),
+                    quaternion=tuple(quaternion[i]),
                     enabled=True,
                     # ScaleShift interleaves [scale, shift] per handle
                     # (reference ValueXform param blocks)
                     depth_params=(
-                        np.asarray(sp.depth_grid[i], np.float64).reshape(-1)
-                        if sp.depth_shift is None
+                        depth_grid[i]
+                        if depth_shift is None
                         else np.stack(
-                            [
-                                np.asarray(sp.depth_grid[i], np.float64).reshape(-1),
-                                np.asarray(sp.depth_shift[i], np.float64).reshape(-1),
-                            ],
-                            axis=-1,
+                            [depth_grid[i], depth_shift[i]], axis=-1
                         ).reshape(-1)
                     ),
                     spatial_params=(
-                        np.asarray(sp.spatial_grid[i], np.float64).reshape(-1)
-                        if (sx, sy) != (1, 1)
-                        else np.zeros(0)
+                        spatial_grid[i] if (sx, sy) != (1, 1) else np.zeros(0)
                     ),
                 )
             )

@@ -110,7 +110,14 @@ class DatasetProcessor:
             self._flow_model_pair()
 
         with tracer.span("compute_initial_depth"):
-            depth = compute_initial_depth(store, depth_model, cfg.model_type)
+            depth_stats: dict = {}
+            depth = compute_initial_depth(
+                store, depth_model, cfg.model_type, stats=depth_stats
+            )
+        for name, sec in depth_stats.items():
+            tracer.spans.append(
+                {"name": f"compute_initial_depth/{name}", "sec": sec}
+            )
 
         flow_stage = FlowStage(store, *self._flow_model_pair())
         index_pairs = flow_stage.sample_index_pairs(cfg.flow_ops, meta.num_frames)
@@ -130,12 +137,15 @@ class DatasetProcessor:
         if cfg.opt.dynamic_constraints == "Mask":
             from .masks import compute_dynamic_masks, compute_dynamic_masks_rcnn
 
+            mask_stats: dict = {}
             with tracer.span("compute_dynamic_mask"):
                 try:
                     if cfg.mask_rcnn_weights and os.path.exists(
                         cfg.mask_rcnn_weights
                     ):
-                        compute_dynamic_masks_rcnn(store, cfg.mask_rcnn_weights)
+                        compute_dynamic_masks_rcnn(
+                            store, cfg.mask_rcnn_weights, stats=mask_stats
+                        )
                     else:
                         if cfg.mask_rcnn_weights:
                             print(
@@ -146,6 +156,10 @@ class DatasetProcessor:
                         compute_dynamic_masks(store)
                 except Exception as e:  # mask failures do not abort the pipeline
                     print(f"dynamic mask generation failed ({e}); continuing")
+            for name, sec in mask_stats.items():
+                tracer.spans.append(
+                    {"name": f"compute_dynamic_mask/{name}", "sec": sec}
+                )
 
         with tracer.span("fine_tune"):
             tuner = self.fine_tune(store, depth)
@@ -163,6 +177,9 @@ class DatasetProcessor:
         return (m[0], m[1]) if isinstance(m, tuple) else (m, None)
 
     def fine_tune(self, store: VideoStore, depth: np.ndarray):
+        import time
+
+        t_setup = time.perf_counter()
         cfg = self.cfg
         from ..training.fine_tune import FineTuner, build_clip_data
 
@@ -213,6 +230,9 @@ class DatasetProcessor:
             mesh=pmesh.pipeline_mesh(),
             pose_state_override=pose_state_override,
         )
+        # flow/mask loads + clip tensors + constraint build + tuner state:
+        # mostly one-time host->device transfers (PERF.md reconciliation)
+        tuner.stats["setup_s"] = time.perf_counter() - t_setup
         tuner.run()
         return tuner
 

@@ -19,9 +19,9 @@ from robust_cvd_tpu.io.store import save_png_color
 
 base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/clip100"
 N = 100
-FULL_W, FULL_H = 640, 360  # size-384/align-32 downscale -> 384 x 224
+FULL_W, FULL_H = 384, 224  # natively 384p: color_down is a no-op resize
 DOWN_W, DOWN_H = 384, 224
-SHIFT_FULL = 3.0  # px/frame at full res
+SHIFT_FULL = 3.0  # px/frame
 SHIFT_DOWN = SHIFT_FULL * DOWN_W / FULL_W  # exact under proportional scaling
 
 

@@ -288,11 +288,34 @@ class FlowStage:
         import jax
         import jax.numpy as jnp
 
-        missing = [
-            (i, j)
-            for (i, j) in index_pairs
-            if not os.path.exists(pjoin(self.store.base_dir, "flow", f"flow_{i:06d}_{j:06d}.raw"))
-        ]
+        # A flow file only satisfies idempotency if it matches the CURRENT
+        # color_down resolution — a clip reprocessed with a different
+        # --size leaves stale flows behind, and trusting them crashes the
+        # mask stage far downstream with an opaque shape error.
+        from ..io.raw import read_raw_header
+
+        probe = index_pairs[0][0] if index_pairs else 0
+        down0 = pjoin(
+            self.store.base_dir, "color_down", frame_name(probe, ".raw")
+        )
+        want_hw = read_raw_header(down0)[:2] if os.path.exists(down0) else None
+
+        def _usable(i, j):
+            path = pjoin(self.store.base_dir, "flow", f"flow_{i:06d}_{j:06d}.raw")
+            if not os.path.exists(path):
+                return False
+            if want_hw is None:
+                return True
+            have = read_raw_header(path)[:2]
+            if have != want_hw:
+                print(
+                    f"flow_{i:06d}_{j:06d}.raw is {have[1]}x{have[0]} but "
+                    f"color_down is {want_hw[1]}x{want_hw[0]}; recomputing"
+                )
+                return False
+            return True
+
+        missing = [(i, j) for (i, j) in index_pairs if not _usable(i, j)]
         if not missing:
             return
         if self.model is None:

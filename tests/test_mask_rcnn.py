@@ -78,6 +78,46 @@ def test_nms_matches_greedy_oracle():
     np.testing.assert_array_equal(keep, oracle)
 
 
+def test_nms_suppression_chain_resurrection():
+    """A pure suppression chain (each box overlaps only its neighbors,
+    scores descending) is the worst case for the fixed-point iteration:
+    greedy keeps the even-indexed boxes because every odd box is
+    suppressed, which RESURRECTS the box after it."""
+    n = 64
+    boxes = np.stack(
+        [
+            np.arange(n) * 6.0,
+            np.zeros(n),
+            np.arange(n) * 6.0 + 10.0,
+            np.full(n, 10.0),
+        ],
+        axis=-1,
+    ).astype(np.float32)  # neighbors overlap 4/16 = IoU 0.25
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+    keep = np.asarray(M.nms_keep(jnp.asarray(boxes), jnp.asarray(scores), 0.2))
+    np.testing.assert_array_equal(keep, np.arange(n) % 2 == 0)
+    np.testing.assert_array_equal(keep, _nms_oracle(boxes, scores, 0.2))
+
+
+def test_nms_dense_with_valid_matches_oracle():
+    rng = np.random.default_rng(7)
+    n = 500
+    boxes = rng.uniform(0, 60, (n, 4)).astype(np.float32)  # dense overlaps
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(8, 40, (n, 2))
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    valid = rng.uniform(0, 1, n) > 0.3
+    keep = np.asarray(
+        M.nms_keep(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+            valid=jnp.asarray(valid),
+        )
+    )
+    oracle = _nms_oracle(boxes[valid], scores[valid], 0.5)
+    full = np.zeros(n, bool)
+    full[np.flatnonzero(valid)] = oracle
+    np.testing.assert_array_equal(keep, full)
+
+
 def _roi_align_oracle(feat, box, out, stride, sampling=2):
     """Scalar-loop ROIAlignV2 (aligned=True) reference."""
     h, w, c = feat.shape

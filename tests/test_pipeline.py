@@ -389,3 +389,30 @@ def test_config_flag_semantics():
     with redirect_stdout(buf):
         parse_config(["--opt.num_threads", "4"])
     assert "num_threads" in buf.getvalue()
+
+
+def test_stale_resolution_flow_recomputed(clip_dir):
+    """A flow file at the wrong resolution (clip reprocessed with a new
+    --size) must not satisfy flow-stage idempotency — trusting it crashes
+    the mask stage downstream with an opaque concat error."""
+    vs = VideoStage(clip_dir)
+    vs.extract_frames()
+    vs.downscale_frames("color_down", 32, ".raw", align=8)
+    store = VideoStore.open(clip_dir)
+    os.makedirs(pjoin(clip_dir, "flow"), exist_ok=True)
+    # right resolution for (0, 1); stale (full-res) for (1, 0)
+    dh, dw = store.load_color_down().shape[1:3]
+    raw.save_raw_float32_image(
+        pjoin(clip_dir, "flow", "flow_000000_000001.raw"),
+        np.zeros((dh, dw, 2), np.float32),
+    )
+    raw.save_raw_float32_image(
+        pjoin(clip_dir, "flow", "flow_000001_000000.raw"),
+        np.zeros((48, 64, 2), np.float32),
+    )
+    stage = FlowStage(store, raft_model=None)
+    # the stale pair is treated as missing -> RAFT required
+    with pytest.raises(RuntimeError, match="RAFT model required"):
+        stage.compute_flow([(0, 1), (1, 0)])
+    # with only good files, idempotency holds and no model is needed
+    stage.compute_flow([(0, 1)])

@@ -125,10 +125,18 @@ for label, kw in [
     ("warm exact  cg16", dict(lm_warm_cg_iters=16, lm_precond_exact=True)),
     ("warm exact  cg8 ", dict(lm_warm_cg_iters=8, lm_precond_exact=True)),
     ("warm exact  cg4 ", dict(lm_warm_cg_iters=4, lm_precond_exact=True)),
+    # outer-iteration sweep at the cg16 default (round 4): the warm solve
+    # is 10 of 11 solves per clip, so outer caps scale its cost linearly
+    ("warm cg16 outer10", dict(lm_warm_cg_iters=16, lm_warm_max_outer=10)),
+    ("warm cg16 outer8 ", dict(lm_warm_cg_iters=16, lm_warm_max_outer=8)),
+    ("warm cg16 outer6 ", dict(lm_warm_cg_iters=16, lm_warm_max_outer=6)),
+    ("warm cg16 outer4 ", dict(lm_warm_cg_iters=16, lm_warm_max_outer=4)),
+    ("warm cg16 outer3 ", dict(lm_warm_cg_iters=16, lm_warm_max_outer=3)),
 ]:
     opt = dataclasses.replace(base, **kw)
     solved = pose_opt.run(opt, inputs1, initial=cold)  # warm path
     gap = 1 - (score(solved, corrupted_drift) - gt_err) / (bad_drift - gt_err)
     cg = opt.lm_warm_cg_iters
     cost = 2 * cg + 2 + (3 if opt.lm_precond_exact else 0)
-    print(f"{label}: gap_closed={gap:.4f}  ~res-evals/outer={cost}")
+    print(f"{label}: gap_closed={gap:.4f}  ~res-evals/outer={cost}"
+          f"  outers={opt.lm_warm_max_outer}")

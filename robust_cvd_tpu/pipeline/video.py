@@ -38,6 +38,11 @@ def resize_to_target(image: np.ndarray, max_size: int, align: int = 1,
         rw = align * round(rw / align)
     if rh % align != 0:
         rh = align * round(rh / align)
+    # The reference's identical rounding (utils/image_io.py:36-44) emits a
+    # 0-sized dimension when a side is at most align/2 (round-half-even) and
+    # cv2.resize then asserts; clamp to the smallest aligned size instead so
+    # degenerate-aspect inputs stay inside the pipeline's envelope.
+    rw, rh = max(rw, align), max(rh, align)
     return _resize_area(image, (rh, rw))
 
 

@@ -51,6 +51,15 @@ def test_resize_to_target_alignment():
     assert max(out.shape[:2]) == 384
 
 
+def test_resize_to_target_clamps_degenerate_dim():
+    # 64x32 input with align 64: round-half-even would emit height 0 (the
+    # reference's image_io.py:36-44 rounding crashes cv2 here); we clamp to
+    # the smallest aligned size instead.
+    img = np.zeros((32, 64, 3), np.float32)
+    out = resize_to_target(img, 1024, align=64)
+    assert out.shape[:2] == (64, 64)
+
+
 def test_store_depth_roundtrip(clip_dir):
     store = VideoStore.open(clip_dir)
     depth = np.random.default_rng(1).uniform(0.5, 5.0, (4, 24, 32)).astype(np.float32)

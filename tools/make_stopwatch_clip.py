@@ -18,10 +18,14 @@ from robust_cvd_tpu.io.frames import save_frames_txt
 from robust_cvd_tpu.io.store import save_png_color
 
 base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/clip100"
-N = 100
-FULL_W, FULL_H = 384, 224  # natively 384p: color_down is a no-op resize
-DOWN_W, DOWN_H = 384, 224
-SHIFT_FULL = 3.0  # px/frame
+# Overridable for the tiny virtual-8-device-mesh CLI drive (verify skill):
+# keep the clip natively at the --size resolution so color_down is a no-op
+# and the pre-seeded flows match the down resolution.
+N = int(os.environ.get("CLIP_N", "100"))
+FULL_W = int(os.environ.get("CLIP_W", "384"))
+FULL_H = int(os.environ.get("CLIP_H", "224"))
+DOWN_W, DOWN_H = FULL_W, FULL_H
+SHIFT_FULL = float(os.environ.get("CLIP_SHIFT", "3.0"))  # px/frame
 SHIFT_DOWN = SHIFT_FULL * DOWN_W / FULL_W  # exact under proportional scaling
 
 

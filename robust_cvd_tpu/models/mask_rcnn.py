@@ -286,15 +286,21 @@ def nms_keep(boxes, scores, iou_thresh, valid=None):
     ar = jnp.arange(k)
     sup = (iou > iou_thresh) & (ar[:, None] < ar[None, :]) & v[:, None]
 
+    # Fixed-point iteration converges in at most the suppression-chain
+    # depth <= k trips; the trip bound keeps worst-case latency at the old
+    # serial-NMS cost (k trips of the vectorized O(k^2) body) even on
+    # adversarial long-chain layouts.
     def cond(c):
-        return c[1]
+        return c[1] & (c[2] < k)
 
     def body(c):
-        keep, _ = c
+        keep, _, trip = c
         new = v & ~jnp.any(sup & keep[:, None], axis=0)
-        return new, jnp.any(new != keep)
+        return new, jnp.any(new != keep), trip + 1
 
-    keep_sorted, _ = jax.lax.while_loop(cond, body, (v, jnp.array(True)))
+    keep_sorted, _, _ = jax.lax.while_loop(
+        cond, body, (v, jnp.array(True), jnp.array(0, jnp.int32))
+    )
     inv = jnp.zeros((k,), jnp.int32).at[order].set(jnp.arange(k))
     return keep_sorted[inv]
 

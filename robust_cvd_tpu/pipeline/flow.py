@@ -292,25 +292,35 @@ class FlowStage:
         # color_down resolution — a clip reprocessed with a different
         # --size leaves stale flows behind, and trusting them crashes the
         # mask stage far downstream with an opaque shape error.
-        from ..io.raw import read_raw_header
+        from ..io.raw import cv_type, read_raw_header
 
-        probe = index_pairs[0][0] if index_pairs else 0
-        down0 = pjoin(
-            self.store.base_dir, "color_down", frame_name(probe, ".raw")
-        )
-        want_hw = read_raw_header(down0)[:2] if os.path.exists(down0) else None
+        want_hw = None
+        for probe in dict.fromkeys(i for p in index_pairs for i in p):
+            down = pjoin(
+                self.store.base_dir, "color_down", frame_name(probe, ".raw")
+            )
+            if os.path.exists(down):
+                want_hw = read_raw_header(down)[:2]
+                break
+        # flow is float32 2-channel; a right-sized file with the wrong
+        # cv_type would pass a spatial-only check and crash at load time
+        want_cvt = cv_type(np.dtype(np.float32), 2)
 
         def _usable(i, j):
             path = pjoin(self.store.base_dir, "flow", f"flow_{i:06d}_{j:06d}.raw")
             if not os.path.exists(path):
                 return False
             if want_hw is None:
-                return True
-            have = read_raw_header(path)[:2]
-            if have != want_hw:
+                # no color_down probe exists at all (partially-written
+                # store): trusting existing flows would reintroduce the
+                # stale-resolution crash — recompute instead.
+                return False
+            have = read_raw_header(path)
+            if have[:2] != want_hw or have[2] != want_cvt:
                 print(
-                    f"flow_{i:06d}_{j:06d}.raw is {have[1]}x{have[0]} but "
-                    f"color_down is {want_hw[1]}x{want_hw[0]}; recomputing"
+                    f"flow_{i:06d}_{j:06d}.raw is {have[1]}x{have[0]} "
+                    f"cv_type={have[2]} but expected {want_hw[1]}x{want_hw[0]} "
+                    f"cv_type={want_cvt}; recomputing"
                 )
                 return False
             return True

@@ -476,6 +476,49 @@ def dynamic_solver_gate(tiny: bool = False, rng_seed: int = 0) -> dict:
     gt, bad = m(scene.depth), m(corrupted)
     solved_err = m(corrected, ext, intr)
 
+    # ---- irreducible floor: GT depth + GT poses WITH the JOINT_AMP
+    # distortion left in. The solver only ever sees distorted observations;
+    # a solution that reproduces them EXACTLY still warps pixel p of frame i
+    # to q + w_j(q) - w_i(p) instead of q (the relative distortion is
+    # first-order observation noise it cannot remove). Scoring that warp
+    # with GT depth/poses gives the achievable floor, so the gap the solver
+    # can actually close is (bad - floor), not (bad - gt).
+    def floor_pair(i, j):
+        uv = geometry.warping_field(
+            scene.extrinsics[i], scene.intrinsics[i], scene.depth[i],
+            scene.extrinsics[j], scene.intrinsics[j],
+        )  # (H, W, 2) pixel coords in frame j
+        # NDC of the source pixels (frame i) and of the warped points (j)
+        src_ndc = jnp.asarray(pix_ndc_grid)
+        uv_ndc = jnp.stack(
+            [uv[..., 0] / (W - 1) * 2 - 1, -(uv[..., 1] / (H - 1) * 2 - 1)],
+            axis=-1,
+        )
+        _, w_i = distort(src_ndc, np.full((H, W), i), JOINT_AMP)
+        _, w_j = distort(uv_ndc, np.full((H, W), j), JOINT_AMP)
+        dw = w_j - w_i  # NDC displacement the fitted warp carries
+        duv = jnp.stack(
+            [dw[..., 0] * (W - 1) / 2, -dw[..., 1] * (H - 1) / 2], axis=-1
+        )
+        uv2 = uv + duv
+        warped = geometry.grid_sample(scene.images[j], uv2)
+        inb = (
+            (uv2[..., 0] >= 0.0) & (uv2[..., 0] <= W - 1.0)
+            & (uv2[..., 1] >= 0.0) & (uv2[..., 1] <= H - 1.0)
+        ).astype(jnp.float32)
+        return warped, inb
+
+    pix_ndc_grid = np.stack(
+        np.meshgrid(np.linspace(-1, 1, W), np.linspace(1, -1, H)), axis=-1
+    ).astype(np.float32)
+    floor_terms = []
+    for k, (i, j) in enumerate(pairs):
+        warped, inb = floor_pair(i, j)
+        wgt = inb * masks[k]
+        diff = jnp.abs(warped - scene.images[i]).mean(axis=-1)
+        floor_terms.append((diff * wgt).sum() / jnp.maximum(wgt.sum(), 1.0))
+    floor = float(jnp.stack(floor_terms).mean())
+
     # ---- dedicated spatial-warp recovery solve ----------------------------
     # In the JOINT solve above, per-frame depth grids can absorb a shared
     # image distortion on a smooth scene (the corrections are
@@ -552,8 +595,195 @@ def dynamic_solver_gate(tiny: bool = False, rng_seed: int = 0) -> dict:
         "photo_consistency_gt_l1_dynamic": round(gt, 6),
         "photo_consistency_corrupted_l1_dynamic": round(bad, 6),
         "photo_consistency_solved_l1_dynamic": round(solved_err, 6),
+        "photo_consistency_floor_l1_dynamic": round(floor, 6),
         "quality_gap_closed_dynamic": round(
             float(1.0 - (solved_err - gt) / max(bad - gt, 1e-9)), 4
         ),
+        "quality_gap_closed_dynamic_vs_floor": round(
+            float(1.0 - max(solved_err - floor, 0.0) / max(bad - floor, 1e-9)),
+            4,
+        ),
         "spatial_warp_recovery": round(1.0 - resid / max(w_mag, 1e-9), 4),
+    }
+
+
+def contaminated_constraint_gate(tiny: bool = False, rng_seed: int = 0) -> dict:
+    """End-to-end gate for DYNAMIC-CONSTRAINT EXCLUSION: constraints are
+    deliberately sampled ON the moving object (tracking its texture, the way
+    real optical flow would), then fed through the production exclusion path
+    — `set_static_flags` from dynamic-mask distance transforms +
+    `prune_static_flag` contamination stamping + zero-weighting in
+    `flatten_pairs` (reference lib/FlowConstraints.cpp:573-748,
+    PoseOptimizer.cpp:1177-1193) — and the same solve runs once more with
+    exclusion OFF. A camera-pose model cannot explain object motion, so the
+    OFF solve must close meaningfully less of the photo-consistency gap than
+    the ON solve; the ON solve must stay close to the uncontaminated gate.
+    """
+    from .camera import pose_params_to_camera, quat_to_matrix
+    from .config import PoseOptParams
+    from .solver import constraints as C
+    from .solver import pose_opt, xforms
+    from .solver.pose_opt import PoseOptInputs
+    from .solver.xforms import GridSpec
+
+    scene = golden_scene_dynamic(
+        num_frames=6 if tiny else 8, shape=(48, 64) if tiny else (96, 128)
+    )
+    N = int(scene.images.shape[0])
+    H, W = scene.depth.shape[1:]
+    aspect = W / H
+    inv_aspect = H / W
+    obj_vel = 0.12  # golden_scene_dynamic default, world units / frame
+    rng = np.random.default_rng(rng_seed)
+    frame_scale = rng.uniform(0.7, 1.4, N).astype(np.float32)
+    corrupted_np = np.asarray(
+        scene.depth * jnp.asarray(1.0 / frame_scale)[:, None, None]
+    )
+    static = np.asarray(scene.static_mask)
+    ext_np = np.asarray(scene.extrinsics)
+    intr_np = np.asarray(scene.intrinsics)
+    depth_np = np.asarray(scene.depth)
+
+    def project(f_to, pts_w):
+        """World points -> (pixels (C, 2), cam depth (C,)) in frame f_to
+        (rotations are identity in this rig)."""
+        cam = pts_w - ext_np[f_to][:, 3]
+        pts = jnp.asarray(cam, jnp.float32)
+        pix = np.asarray(
+            geometry.project(pts, scene.intrinsics[f_to][None, :])
+        )
+        return pix, -cam[:, 2]
+
+    def hit_points(f, xs, ys):
+        """World hit points + depth for pixels (xs, ys) of frame f using
+        the rendered (GT) depth — on the object this is the object hit."""
+        d = depth_np[f, np.round(ys).astype(int), np.round(xs).astype(int)]
+        pix = jnp.asarray(np.stack([xs, ys], -1), jnp.float32)
+        pts = geometry.pixels_to_points(
+            scene.intrinsics[f][None, :], jnp.asarray(d), pix
+        )
+        # camera -> world (identity rotation)
+        return np.asarray(pts) + ext_np[f][:, 3], d
+
+    def sample_px(f, count, on_object):
+        mask = ~static[f] if on_object else static[f]
+        ys, xs = np.nonzero(mask[3 : H - 3, 3 : W - 3])
+        if len(ys) == 0:
+            return np.zeros(0), np.zeros(0)
+        idx = rng.choice(len(ys), size=count, replace=len(ys) < count)
+        return (xs[idx] + 3).astype(np.float64), (ys[idx] + 3).astype(np.float64)
+
+    # ---- build PairConstraints with a contaminated fraction ---------------
+    C_per = 32 if tiny else 64
+    n_dyn = C_per // 4  # 25% of samples track the moving object
+    pair_keys = list(scene.pairs)
+    pair_dict = {}
+    for (i, j) in pair_keys:
+        # static samples: GT reprojection of background pixels
+        xs, ys = sample_px(i, C_per - n_dyn, on_object=False)
+        pts_w, _d0 = hit_points(i, xs, ys)
+        pix_j, _dj = project(j, pts_w)
+        # dynamic samples: the observed flow TRACKS the object's texture
+        xo, yo = sample_px(i, n_dyn, on_object=True)
+        pts_o, _do = hit_points(i, xo, yo)
+        pts_o_moved = pts_o + np.array([obj_vel * (j - i), 0.0, 0.0])
+        pix_oj, _doj = project(j, pts_o_moved)
+        loc0_px = np.concatenate(
+            [np.stack([xs, ys], -1), np.stack([xo, yo], -1)]
+        )
+        loc1_px = np.concatenate([pix_j, pix_oj])
+        ok = (
+            (loc1_px[:, 0] >= 0) & (loc1_px[:, 0] <= W - 1)
+            & (loc1_px[:, 1] >= 0) & (loc1_px[:, 1] <= H - 1)
+        )
+        # normalized [0,1]x[0,inv_aspect]: both coords divided by W
+        pair_dict[(i, j)] = C.PairConstraints(
+            loc0=(loc0_px[ok] / W).astype(np.float32),
+            loc1=(loc1_px[ok] / W).astype(np.float32),
+            is_static=np.ones(int(ok.sum()), bool),
+        )
+
+    med = jnp.asarray(
+        np.median(corrupted_np.reshape(N, -1), 1).astype(np.float32)
+    )
+    opt = PoseOptParams(
+        num_steps=2 if tiny else 3,
+        ctf_long=3 if tiny else 5,
+        ctf_short=2 if tiny else 3,
+        lm_max_outer=6 if tiny else 12,
+        lm_cg_iters=12 if tiny else 24,
+        graduate_deformation_regularization=True,
+    )
+
+    # eval masks: static in i AND (GT-warped) static in j — same scoring as
+    # dynamic_solver_gate
+    masks = []
+    for (i, j) in pair_keys:
+        uv = geometry.warping_field(
+            scene.extrinsics[i], scene.intrinsics[i], scene.depth[i],
+            scene.extrinsics[j], scene.intrinsics[j],
+        )
+        sj = geometry.grid_sample(
+            jnp.asarray(static[j], jnp.float32)[..., None], uv
+        )[..., 0]
+        masks.append(jnp.asarray(static[i], jnp.float32) * (sj > 0.99))
+    masks = jnp.stack(masks)
+
+    def score(depth, e=None, i=None):
+        return float(
+            clip_photo_consistency(
+                scene.images, depth,
+                scene.extrinsics if e is None else e,
+                scene.intrinsics if i is None else i,
+                pair_keys, masks=masks,
+            ).l1
+        )
+
+    def solve(exclude: bool) -> float:
+        pd = {
+            k: C.PairConstraints(
+                loc0=pc.loc0.copy(), loc1=pc.loc1.copy(),
+                is_static=pc.is_static.copy(),
+            )
+            for k, pc in pair_dict.items()
+        }
+        if exclude:
+            dyn_dist = np.stack(
+                [
+                    C.dynamic_distance((static[f] * 255).astype(np.uint8),
+                                       (H, W))
+                    for f in range(N)
+                ]
+            )
+            C.set_static_flags(pair_keys, pd, [], {}, dyn_dist,
+                               min_dynamic_distance=4.0)
+            C.prune_static_flag(N, pair_keys, pd, [], {}, (H, W), distance=4)
+        data = C.flatten_pairs(pair_keys, pd, corrupted_np, inv_aspect)
+        inputs = PoseOptInputs(
+            data=data, median_depth=med, aspect=aspect, num_frames=N,
+        )
+        solved = pose_opt.run(opt, inputs)
+        gz, gy, gx = solved.depth_grid.shape[1:]
+        scales = jax.vmap(
+            lambda g, d: xforms.depth_param_map(
+                g, GridSpec(gx=gx, gy=gy, gz=gz), (H, W), d
+            )
+        )(solved.depth_grid, jnp.asarray(corrupted_np))
+        cam = pose_params_to_camera(solved.pose, solved.focal, aspect)
+        Rm = jax.vmap(quat_to_matrix)(cam.quaternion)
+        ext = jnp.concatenate([Rm, cam.position[:, :, None]], axis=2)
+        intr = geometry.intrinsics_px(cam.vfov, cam.hfov, (H, W))
+        return score(jnp.asarray(corrupted_np) * scales, ext, intr)
+
+    gt, bad = score(scene.depth), score(jnp.asarray(corrupted_np))
+    err_on = solve(exclude=True)
+    err_off = solve(exclude=False)
+    gap = max(bad - gt, 1e-9)
+    return {
+        "quality_gap_closed_contaminated": round(
+            float(1.0 - (err_on - gt) / gap), 4
+        ),
+        "quality_gap_closed_contaminated_no_exclusion": round(
+            float(1.0 - (err_off - gt) / gap), 4
+        ),
     }

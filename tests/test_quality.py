@@ -201,3 +201,27 @@ def test_dynamic_solver_gate_closes_gap():
     # bar is "most of the gap", not near-all of it.
     assert res["quality_gap_closed_dynamic"] > 0.6, res
     assert res["spatial_warp_recovery"] > 0.6, res
+    # interpretability floor (round-5 VERDICT #6a): the achievable floor —
+    # GT depth + GT poses scored WITH the observation distortion left in —
+    # must sit between the GT score and the corrupted score, and the solver
+    # must close most of the ACHIEVABLE gap (bad - floor)
+    assert (
+        res["photo_consistency_gt_l1_dynamic"]
+        < res["photo_consistency_floor_l1_dynamic"]
+        < res["photo_consistency_corrupted_l1_dynamic"]
+    ), res
+    assert res["quality_gap_closed_dynamic_vs_floor"] > 0.85, res
+
+
+def test_contaminated_constraints_need_exclusion():
+    """Constraints sampled ON the moving object poison a static-scene model:
+    with the production exclusion path (set_static_flags +
+    prune_static_flag -> zero weights in flatten_pairs, reference
+    lib/FlowConstraints.cpp:573-748) the solve must stay near the clean
+    gate; with exclusion OFF it must degrade catastrophically (round-5
+    VERDICT #6b)."""
+    res = quality.contaminated_constraint_gate(tiny=True)
+    on = res["quality_gap_closed_contaminated"]
+    off = res["quality_gap_closed_contaminated_no_exclusion"]
+    assert on > 0.8, res  # graceful with exclusion (measured ~0.99 tiny)
+    assert off < on - 0.3, res  # catastrophic without (measured ~0.16 tiny)

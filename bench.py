@@ -25,6 +25,7 @@ numbers (BASELINE.json published: {}).
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -208,6 +209,30 @@ def main():
     # on CPU without the TPU (tests/test_bench_smoke.py). The real-scale
     # path is untouched when the env var is absent.
     TINY = os.environ.get("BENCH_TINY") == "1"
+
+    # ---- per-stage FLOPs + MFU (VERDICT r4 ask #7) -------------------------
+    # Program FLOPs from the compiled HLO (Compiled.cost_analysis), MFU
+    # against the v5e bf16 peak. Two honesty notes: (a) f32-dominated stages
+    # (the solver) cap at ~0.5 of this peak by construction; (b) the
+    # merge16/block-dense conv lowerings DELIBERATELY add redundant FLOPs
+    # (PERF.md), which inflate their MFU — the number ranks levers, it is
+    # not a quality score on its own.
+    V5E_PEAK = 197e12
+
+    def _program_tflops(jitted, *args, **kw):
+        try:
+            cost = jitted.lower(*args, **kw).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            return float(cost.get("flops", 0.0)) / 1e12
+        except Exception:
+            return None
+
+    def _mfu(detail, stage, total_tflops, seconds):
+        if total_tflops is None or seconds <= 0:
+            return
+        detail[f"{stage}_tflops"] = round(total_tflops, 3)
+        detail[f"{stage}_mfu"] = round(total_tflops / seconds / (V5E_PEAK / 1e12), 4)
     NUM_FRAMES = 8 if TINY else 100
     NUM_EPOCHS = 1 if TINY else 10
     H, W = (32, 64) if TINY else (224, 384)
@@ -237,6 +262,10 @@ def main():
     t0 = time.perf_counter()
     midas_pass()
     detail["midas_initial_depth_s"] = round(time.perf_counter() - t0, 4)
+    _fl = _program_tflops(fwd, mv["params"], mv["batch_stats"], images[:B])
+    _mfu(detail, "midas_initial_depth",
+         None if _fl is None else _fl / B * NUM_FRAMES,
+         detail["midas_initial_depth_s"])
 
     # ---- stage 2: homography pre-registration + RAFT flow ------------------
     inputs, pairs = make_clip_problem(NUM_FRAMES)
@@ -278,6 +307,11 @@ def main():
     raft_pass()
     detail["raft_flow_s"] = round(time.perf_counter() - t0, 4)
     detail["num_pairs"] = len(pairs)
+    _i0, _j0 = chunk_indices(0)
+    _fl = _program_tflops(rfwd, rv, images[_i0] * 255.0, images[_j0] * 255.0)
+    _mfu(detail, "raft_flow",
+         None if _fl is None else _fl * -(-len(pairs) // fb),
+         detail["raft_flow_s"])
 
     # ---- stage 2b: dynamic masks (Mask R-CNN R50-FPN) ----------------------
     # The reference runs detectron2 per frame as a timed pipeline stage
@@ -328,6 +362,10 @@ def main():
     t0 = time.perf_counter()
     mask_pass()
     detail["dynamic_mask_s"] = round(time.perf_counter() - t0, 4)
+    _fl = _program_tflops(mask_frames, rcnn_params, images[:FB])
+    _mfu(detail, "dynamic_mask",
+         None if _fl is None else _fl * -(-NUM_FRAMES // FB),
+         detail["dynamic_mask_s"])
 
     # ---- stage 2c: consistency masks + constraint building ----------------
     # Host+device hybrid the pipeline runs between flow and pose opt
@@ -434,6 +472,11 @@ def main():
     S_full = P_train // bsz
 
     # warm-up compiles (persistently cached for the driver's run)
+    from robust_cvd_tpu.solver import lm as lm_mod
+
+    # enable solver FLOP accounting now so the warm-ups pre-populate the
+    # lowering cache OUTSIDE the timed loop; counter resets before timing
+    lm_mod.COST_TRACKER = {"flops": 0.0}
     params = pose_opt.run(opt, inputs, focal=jnp.full((NUM_FRAMES,), 0.5))
     jax.block_until_ready(params.pose)
     warm_params = pose_opt.run(opt, inputs, initial=params)  # warm-start path
@@ -491,6 +534,7 @@ def main():
 
     p, bs, ostate = mv["params"], mv["batch_stats"], opt_state
     solver_params = None
+    lm_mod.COST_TRACKER = {"flops": 0.0}  # count only the timed loop
     t_pose = 0.0
     t_train = 0.0
     t_refresh = 0.0
@@ -522,6 +566,26 @@ def main():
     detail["pose_opt_total_s"] = round(t_pose, 4)
     detail["fine_tune_total_s"] = round(t_train, 4)
     detail["depth_refresh_total_s"] = round(t_refresh, 4)
+    # solver MFU from the LM-chunk programs (upper bound: converged chunks
+    # skip remaining outers at runtime; f32 solve caps at ~0.5 bf16 peak)
+    _mfu(detail, "pose_opt",
+         lm_mod.COST_TRACKER.get("flops", 0.0) / 1e12, t_pose)
+    lm_mod.COST_TRACKER = None
+    # train MFU: whole-epoch scanned program + the trailing partial batch
+    _fl_ep = _program_tflops(
+        epoch_fn, p, bs, ostate, warm_blocks, clip, ps, mv["params"]
+    )
+    _fl_tail = 0.0
+    if S_full * bsz < P_train and _fl_ep is not None:
+        _t = _program_tflops(
+            step, p, bs, ostate,
+            jnp.asarray(np.arange(S_full * bsz, P_train, dtype=np.int32)),
+            clip, ps, mv["params"],
+        )
+        _fl_tail = _t or 0.0
+    _mfu(detail, "fine_tune",
+         None if _fl_ep is None else (_fl_ep + _fl_tail) * NUM_EPOCHS,
+         t_train)
 
     # ---- quality gates ------------------------------------------------------
     quality_gate(detail, tiny=TINY)
@@ -531,6 +595,10 @@ def main():
     from robust_cvd_tpu import quality as _quality
 
     detail.update(_quality.dynamic_solver_gate(tiny=TINY))
+    # dynamic-constraint EXCLUSION gate: constraints sampled on the moving
+    # object, removed by the production set_static_flags/prune_static_flag
+    # path vs left in (robust_cvd_tpu/quality.py::contaminated_constraint_gate)
+    detail.update(_quality.contaminated_constraint_gate(tiny=TINY))
 
     e2e = (
         detail["midas_initial_depth_s"]
@@ -566,6 +634,39 @@ def main():
             }
         )
     )
+
+    # ---- PERF.md stage table (VERDICT r4 ask #8) ---------------------------
+    # Printed to stderr (stdout stays ONE JSON line for the driver) so the
+    # PERF.md headline can be pasted verbatim instead of hand-transcribed —
+    # two consecutive rounds shipped a stale PERF table.
+    def _g(k):
+        v = detail.get(k)
+        mfu = detail.get(k.rsplit("_s", 1)[0].replace("_total", "") + "_mfu")
+        return f"{v:.2f} s" + (f" (MFU {mfu:.1%})" if mfu is not None else "")
+
+    rows = [
+        ("MiDaS initial depth", "midas_initial_depth_s"),
+        ("dynamic masks (Mask R-CNN)", "dynamic_mask_s"),
+        ("homography pre-registration", "homography_registration_s"),
+        ("RAFT flow", "raft_flow_s"),
+        ("consistency masks + constraints", "consistency_constraints_s"),
+        ("pose/deformation optimization", "pose_opt_total_s"),
+        ("per-epoch depth refresh", "depth_refresh_total_s"),
+        ("fine-tuning", "fine_tune_total_s"),
+    ]
+    table = ["", "PERF.md stage table (paste verbatim):", "| stage | this run |", "|---|---|"]
+    for label, key in rows:
+        table.append(f"| {label} | {_g(key)} |")
+    table.append(
+        f"| **headline s/frame** | **{e2e / NUM_FRAMES:.3f}** "
+        f"(gates: static {detail.get('quality_gap_closed')}, dynamic "
+        f"{detail.get('quality_gap_closed_dynamic')} / vs-floor "
+        f"{detail.get('quality_gap_closed_dynamic_vs_floor')}, warp "
+        f"{detail.get('spatial_warp_recovery')}, exclusion "
+        f"{detail.get('quality_gap_closed_contaminated')} vs "
+        f"{detail.get('quality_gap_closed_contaminated_no_exclusion')} off) |"
+    )
+    print("\n".join(table), file=sys.stderr)
 
 
 if __name__ == "__main__":

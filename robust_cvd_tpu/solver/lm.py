@@ -38,6 +38,39 @@ import jax
 import jax.numpy as jnp
 
 
+# Optional FLOP accounting for bench MFU reporting: set to a dict (e.g.
+# {"flops": 0.0}) and every executed _lm_outer_chunk adds its compiled
+# program's HLO flop count. Program counts are an upper bound — converged
+# chunks skip remaining outer iterations via lax.cond at runtime, which the
+# static HLO cost analysis cannot see. None (default) = zero overhead.
+COST_TRACKER: dict | None = None
+_COST_CACHE: dict = {}
+
+
+def _chunk_flops(fns, cfg, params, lam, mask, aux) -> float:
+    key = (
+        fns, cfg,
+        tuple(
+            (tuple(x.shape), str(x.dtype))
+            for x in jax.tree.leaves((params, lam, mask, aux))
+        ),
+    )
+    if key not in _COST_CACHE:
+        try:
+            cost = (
+                _lm_outer_chunk.lower(*fns[:3], cfg, params, lam, mask, aux,
+                                      diag_fn=fns[3])
+                .compile()
+                .cost_analysis()
+            )
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            _COST_CACHE[key] = float(cost.get("flops", 0.0))
+        except Exception:  # cost analysis is best-effort, never fail a solve
+            _COST_CACHE[key] = 0.0
+    return _COST_CACHE[key]
+
+
 class LMConfig(NamedTuple):
     max_outer: int = 50
     cg_iters: int = 64
@@ -312,6 +345,11 @@ def solve(
             weighted_residual_fn, robust_residual_fn, project_fn, cfg,
             params, lam, mask, aux, diag_fn,
         )
+        if COST_TRACKER is not None:
+            COST_TRACKER["flops"] = COST_TRACKER.get("flops", 0.0) + _chunk_flops(
+                (weighted_residual_fn, robust_residual_fn, project_fn, diag_fn),
+                cfg, params, lam, mask, aux,
+            )
         it = (c + 1) * cfg.chunk
         if bool(done):
             break

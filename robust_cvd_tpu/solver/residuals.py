@@ -535,6 +535,7 @@ def build_diag_fn(
     depth_deform_weight: float,
     use_triplets: bool = False,
     use_adaptive: bool = False,
+    pose_blocks: bool = False,
 ):
     """Exact diagonal of the Gauss-Newton matrix J^T J for the stage built
     by `build_residual_fn` with the same arguments.
@@ -555,6 +556,14 @@ def build_diag_fn(
 
     Returns `fn(params, irls_weight, aux) -> SolverParams-shaped pytree`
     (requires aux.taps). Callers add the LM damping lambda themselves.
+
+    pose_blocks=True additionally accumulates the exact per-frame 6x6 pose
+    blocks of J^T J (dropping only the pose_i x pose_j cross-frame
+    couplings — block-Jacobi by definition) from the same per-sample
+    jacobians, and `fn` returns `(diag_tree, blocks (N, 6, 6))`. Measured
+    on the real pose problem (PERF.md): frame-structured preconditioning
+    cuts CG iterations far below what the diagonal alone reaches
+    (22-37 vs 62 from 163 plain).
     """
 
     sqrt_scale_reg = float(np.sqrt(opt.scale_regularization)) if opt.scale_regularization > 0 else 0.0
@@ -572,6 +581,9 @@ def build_diag_fn(
         has_shift = params.depth_shift is not None
 
         d_pose = jnp.zeros_like(params.pose)
+        b_pose = (
+            jnp.zeros((N, 6, 6), params.pose.dtype) if pose_blocks else None
+        )
         d_focal = jnp.zeros_like(params.focal)
         d_dgrid = jnp.zeros((N, Gd), params.depth_grid.dtype)
         d_sgrid = jnp.zeros((N, Gs, 2), params.spatial_grid.dtype)
@@ -659,6 +671,14 @@ def build_diag_fn(
         # pose: (P, C, 3, 2, 6)
         sq_pose = jnp.sum(jnp.square(grads[0]) * w2[..., None, None], axis=(1, 2))
         d_pose = d_pose.at[fi].add(sq_pose[:, 0]).at[fj].add(sq_pose[:, 1])
+        if pose_blocks:
+            for k, fk in ((0, fi), (1, fj)):
+                bk = jnp.einsum(
+                    "pcra,pcrb,pc->pab",
+                    grads[0][:, :, :, k, :], grads[0][:, :, :, k, :],
+                    w2[..., 0], precision=_HI,
+                )
+                b_pose = b_pose.at[fk].add(bk)
         # focal: (P, C, 3, 2)
         sq_focal = jnp.sum(jnp.square(grads[1]) * w2[..., None], axis=(1, 2))
         if shared_intr:
@@ -754,6 +774,15 @@ def build_diag_fn(
             for k in range(3):
                 fk = f3[:, k]
                 d_pose = d_pose.at[fk].add(sq_pose_t[:, k])
+                if pose_blocks:
+                    # true J = sqrt(weight) * tgrads (the triplet residual
+                    # folds sqrt(weight)), so J_a J_b = weight * g_a g_b —
+                    # same weighting sq_pose_t uses above
+                    b_pose = b_pose.at[fk].add(jnp.einsum(
+                        "pcra,pcrb,pc->pab",
+                        tgrads[0][:, :, :, k, :], tgrads[0][:, :, :, k, :],
+                        trip.weight, precision=_HI,
+                    ))
                 if shared_intr:
                     if k == 0:
                         d_focal = d_focal.at[0].add(jnp.sum(sq_focal_t[:, 0]))

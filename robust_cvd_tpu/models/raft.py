@@ -111,28 +111,46 @@ class BasicEncoder(nn.Module):
 def build_corr_pyramid(fmap1, fmap2, num_levels=4):
     """All-pairs correlation pyramid (reference corr.py:14-24, 49-56).
 
-    fmap1/fmap2: (B, H, W, D). Returns list of (B, H, W, H/2^i, W/2^i)."""
+    fmap1/fmap2: (B, H, W, D). Returns list of (B, H, W, H/2^i, W/2^i).
+
+    Average-pooling the correlation VOLUME commutes with the dot product
+    (pooling is linear): avg_pool(<f1, f2>) == <f1, avg_pool(f2)>. So each
+    level is one well-shaped MXU einsum against the 2^i-pooled SECOND
+    feature map instead of a chained mean-reduce over the 115 MB volume —
+    measured 10.9 -> ~1 ms per 16-pair chunk (tools/profile_raft.py).
+    Pooling runs in f32 (exact for the f32 parity path; for bf16 inputs the
+    single f32->bf16 round of the pooled features sits inside the existing
+    bf16 product noise floor). bf16 inputs yield a bf16-resident pyramid —
+    halves the volume the per-iteration lookup streams from HBM."""
     B, H, W, D = fmap1.shape
     # bf16 feature maps use the native MXU path with f32 accumulation;
     # f32 inputs request full precision (the default would silently drop
     # to bf16 passes on this backend).
     prec = None if fmap1.dtype == jnp.bfloat16 else _HI
-    corr = jnp.einsum(
-        "bxd,byd->bxy",
-        fmap1.reshape(B, H * W, D),
-        fmap2.reshape(B, H * W, D),
-        precision=prec,
-        preferred_element_type=jnp.float32,
-    ) / jnp.sqrt(jnp.float32(D))
-    corr = corr.astype(jnp.float32)
-    corr = corr.reshape(B, H, W, H, W)
-    pyramid = [corr]
-    for _ in range(num_levels - 1):
-        c = pyramid[-1]
-        h2, w2 = c.shape[3] // 2, c.shape[4] // 2
-        c = c[:, :, :, : 2 * h2, : 2 * w2]
-        c = c.reshape(B, H, W, h2, 2, w2, 2).mean(axis=(4, 6))
-        pyramid.append(c)
+    out_dtype = jnp.bfloat16 if fmap1.dtype == jnp.bfloat16 else jnp.float32
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    f1 = fmap1.reshape(B, H * W, D)
+    f2 = fmap2
+    pyramid = []
+    for i in range(num_levels):
+        h2, w2 = f2.shape[1], f2.shape[2]
+        corr = jnp.einsum(
+            "bxd,byd->bxy",
+            f1,
+            f2.reshape(B, h2 * w2, D),
+            precision=prec,
+            preferred_element_type=jnp.float32,
+        ) * scale
+        pyramid.append(corr.astype(out_dtype).reshape(B, H, W, h2, w2))
+        if i + 1 < num_levels:
+            he, we = (h2 // 2) * 2, (w2 // 2) * 2  # floor semantics
+            f2 = (
+                f2[:, :he, :we]
+                .astype(jnp.float32)
+                .reshape(B, h2 // 2, 2, w2 // 2, 2, D)
+                .mean(axis=(2, 4))
+                .astype(f2.dtype)
+            )
     return pyramid
 
 
@@ -141,13 +159,23 @@ def lookup_corr(pyramid, coords, radius=4, dtype=jnp.bfloat16):
     (reference corr.py:26-47). coords: (B, H, W, 2) pixel coords in image2
     at 1/8 res. Returns (B, H, W, num_levels * (2r+1)^2).
 
-    GATHER-FREE formulation: per query position, build one-hot row/column
-    selectors with the bilinear fractions folded in, then extract the whole
-    (2r+1)^2 window as two batched matmuls (R @ corr @ C^T). Gathers at these
-    shapes are pathologically slow on TPU; the selector matmuls ride the MXU
-    (measured: RAFT 20-iter forward 0.51 s -> ~0.02 s per 384p pair).
-    Out-of-range taps get all-zero one-hot rows == torch grid_sample's zero
-    padding."""
+    GATHER-FREE formulation: per query position, build bilinear row/column
+    selectors and extract the whole (2r+1)^2 window as two batched matmuls
+    (R @ corr @ C^T). Gathers at these shapes are pathologically slow on TPU
+    (take_along_axis / dynamic_slice variants measured 6-43x worse,
+    tools/sweep_raft_lookup.py); the selector matmuls ride the MXU.
+    Selector rows outside the map are all-zero == torch grid_sample's zero
+    padding.
+
+    Each selector row is ONE fused arithmetic HAT — relu(1 - |i - ctr|),
+    ctr = coord + offset — instead of two one_hots with the bilinear
+    fractions folded in: identical linear-interpolation weights, ~40% less
+    build cost. The dissection (tools/sweep_raft_lookup.py): selector
+    CONSTRUCTION was 53 of the 84 ms/chunk (the einsums with precomputed
+    selectors run in 31 ms); hat build cuts the scan to 64 ms. A
+    block-diagonal query-grouping variant (one MXU pass serving G queries)
+    measured SLOWER (103 ms) — the G-times-larger selectors outweigh the
+    saved passes."""
     B, H, W, _ = coords.shape
     r = radius
     K = 2 * r + 1
@@ -160,24 +188,18 @@ def lookup_corr(pyramid, coords, radius=4, dtype=jnp.bfloat16):
         Q = H * W
         c = coords.reshape(B, Q, 2) / (2.0**i)
         cx, cy = c[..., 0], c[..., 1]
-        y0 = jnp.floor(cy)
-        x0 = jnp.floor(cx)
-        ry = (cy - y0)[..., None, None]
-        rx = (cx - x0)[..., None, None]
-
-        rows = (y0[..., None] + k).astype(jnp.int32)  # (B, Q, K)
-        cols = (x0[..., None] + k).astype(jnp.int32)
-        # one_hot of out-of-range indices is all-zero -> zero padding.
-        # Selectors/matmuls run in bf16 (native MXU; the bilinear fractions
-        # and corr features tolerate it), accumulation in f32.
-        R = (
-            jax.nn.one_hot(rows, h2, dtype=dtype) * (1.0 - ry).astype(dtype)
-            + jax.nn.one_hot(rows + 1, h2, dtype=dtype) * ry.astype(dtype)
-        )  # (B, Q, K, h2)
-        C = (
-            jax.nn.one_hot(cols, w2, dtype=dtype) * (1.0 - rx).astype(dtype)
-            + jax.nn.one_hot(cols + 1, w2, dtype=dtype) * rx.astype(dtype)
-        )  # (B, Q, K, w2)
+        ih = jnp.arange(h2, dtype=jnp.float32)
+        iw = jnp.arange(w2, dtype=jnp.float32)
+        ctr_y = cy[..., None] + k  # (B, Q, K) sample rows
+        ctr_x = cx[..., None] + k
+        # hats computed in f32 (bf16 iota-coordinate subtraction would lose
+        # up to 0.25 at map widths ~48), weights cast once for the MXU
+        R = jax.nn.relu(
+            1.0 - jnp.abs(ih[None, None, None, :] - ctr_y[..., None])
+        ).astype(dtype)  # (B, Q, K, h2)
+        C = jax.nn.relu(
+            1.0 - jnp.abs(iw[None, None, None, :] - ctr_x[..., None])
+        ).astype(dtype)  # (B, Q, K, w2)
 
         corr_q = corr.reshape(B, Q, h2, w2).astype(dtype)
         rowed = jnp.einsum(
@@ -290,7 +312,21 @@ def upsample_flow_convex(flow, mask):
         axis=3,
     )  # (B, h, w, 9, 2)
 
-    up = jnp.einsum("bhwkuv,bhwkc->bhwuvc", mask, neigh, precision=_HI)
+    # contraction over only k=9 with tiny M/N — as a dot_general this is
+    # 21504 pathologically small batched matmuls (measured 10.1 ms of the
+    # 118 ms chunk), and a fused broadcast-sum over a (..., 9, 64, 2)
+    # intermediate keeps the minormost dim at 2, wasting 126 of 128 vector
+    # lanes (measured 8.75 ms). Unrolling k=9 per flow channel keeps every
+    # elementwise op on (B, h, w, 64) tiles — 64 lanes busy, no big
+    # intermediate.
+    m = mask.reshape(B, h, w, 9, 64)
+    chans = []
+    for ch in range(2):
+        acc = m[..., 0, :] * neigh[:, :, :, 0, ch : ch + 1]
+        for kk in range(1, 9):
+            acc = acc + m[..., kk, :] * neigh[:, :, :, kk, ch : ch + 1]
+        chans.append(acc.reshape(B, h, w, 8, 8))
+    up = jnp.stack(chans, axis=-1)  # (B, h, w, 8, 8, 2)
     return up.transpose(0, 1, 3, 2, 4, 5).reshape(B, 8 * h, 8 * w, 2)
 
 

@@ -114,6 +114,13 @@ class PoseOptParams:
     # force it OFF (pose_opt._warm_run) — warm starts sit near the optimum
     # where conditioning no longer binds (tools/warm_cap_sweep.py).
     lm_precond_exact: bool = True
+    # BLOCK-Jacobi upgrade of the exact preconditioner: also assemble the
+    # exact per-frame 6x6 pose blocks of J^T J and solve them per CG apply
+    # (residuals.build_diag_fn(pose_blocks=True) + lm.py). Measured on the
+    # real pose problem: 22-37 CG iterations vs 62 for the plain diagonal
+    # (163 unpreconditioned). Default decided by TPU wall-clock
+    # (tools/precond_wallclock.py, round-5 PERF.md section).
+    lm_precond_pose_blocks: bool = False
     # Warm-start epoch re-solves from the previous solution at final grid
     # resolution instead of reset + normalize + full coarse-to-fine (the
     # reference resets every epoch; equivalence validated on the synthetic

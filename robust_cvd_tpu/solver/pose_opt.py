@@ -163,6 +163,7 @@ def _stage_diag_fn(
     return residuals.build_diag_fn(
         cfg, opt, depth_deform_weight=deform_w,
         use_triplets=use_triplets, use_adaptive=use_adaptive,
+        pose_blocks=opt.lm_precond_pose_blocks,
     )
 
 

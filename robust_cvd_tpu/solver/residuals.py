@@ -871,8 +871,14 @@ def build_diag_fn(
                 ) * sqrt_pos_reg
             )(params.pose)  # (N-2, 3, N, 6)
             d_pose = d_pose + jnp.sum(jnp.square(jp), axis=(0, 1))
+            if pose_blocks:
+                # per-frame outer products of the same jacobian rows (the
+                # cross-frame couplings are dropped — block-Jacobi)
+                b_pose = b_pose + jnp.einsum(
+                    "rcna,rcnb->nab", jp, jp, precision=_HI
+                )
 
-        return SolverParams(
+        diag_tree = SolverParams(
             pose=d_pose,
             focal=d_focal,
             depth_grid=d_dgrid.reshape(params.depth_grid.shape),
@@ -881,5 +887,8 @@ def build_diag_fn(
                 d_shift.reshape(params.depth_shift.shape) if has_shift else None
             ),
         )
+        if pose_blocks:
+            return diag_tree, b_pose
+        return diag_tree
 
     return fn

@@ -67,6 +67,21 @@ if __import__("os").environ.get("PRECOND_FULL"):
         ("exact cg32", dataclasses.replace(base, lm_precond_exact=True, lm_cg_iters=32)),
         ("plain cg42", dataclasses.replace(base, lm_cg_iters=42)),
     ] + configs
+if __import__("os").environ.get("PRECOND_BLOCKS"):
+    # round-5 decision: pose-block-Jacobi (exact 6x6 frame blocks; measured
+    # 22-37 CG iterations vs 62 diag / 163 plain on the real problem).
+    # Current default (exact cg42) is the baseline to beat at equal
+    # scale-recovery-err.
+    exact = dataclasses.replace(base, lm_precond_exact=True)
+    blocks = dataclasses.replace(exact, lm_precond_pose_blocks=True)
+    configs = [
+        ("exact cg42 (default)", dataclasses.replace(exact, lm_cg_iters=42)),
+        ("exact cg32", dataclasses.replace(exact, lm_cg_iters=32)),
+        ("block cg42", dataclasses.replace(blocks, lm_cg_iters=42)),
+        ("block cg32", dataclasses.replace(blocks, lm_cg_iters=32)),
+        ("block cg24", dataclasses.replace(blocks, lm_cg_iters=24)),
+        ("block cg16", dataclasses.replace(blocks, lm_cg_iters=16)),
+    ]
 for label, opt in configs:
     time_solve(label, opt)
 

@@ -212,11 +212,17 @@ def main():
 
     # ---- per-stage FLOPs + MFU (VERDICT r4 ask #7) -------------------------
     # Program FLOPs from the compiled HLO (Compiled.cost_analysis), MFU
-    # against the v5e bf16 peak. Two honesty notes: (a) f32-dominated stages
+    # against the v5e bf16 peak. Honesty notes: (a) f32-dominated stages
     # (the solver) cap at ~0.5 of this peak by construction; (b) the
     # merge16/block-dense conv lowerings DELIBERATELY add redundant FLOPs
     # (PERF.md), which inflate their MFU — the number ranks levers, it is
-    # not a quality score on its own.
+    # not a quality score on its own; (c) cost_analysis counts while/scan
+    # BODIES ONCE, so loopy programs are accounted structurally: fine-tune
+    # from the loop-free per-step program x step count (exact), RAFT from
+    # the program + (iters-1) x the scanned body lowered standalone
+    # (exact), the LM solver from recorded chunk executions x the static
+    # chunk trip count with the inner CG while still counted once (a LOWER
+    # bound; the CG cap 16-42x is the dominant undercount — labeled so).
     V5E_PEAK = 197e12
 
     def _program_tflops(jitted, *args, **kw):
@@ -309,6 +315,36 @@ def main():
     detail["num_pairs"] = len(pairs)
     _i0, _j0 = chunk_indices(0)
     _fl = _program_tflops(rfwd, rv, images[_i0] * 255.0, images[_j0] * 255.0)
+    # the 20-iteration refinement runs as lax.scan whose body the HLO cost
+    # model counts ONCE; lower the body standalone (abstract avals — no
+    # execution) and add the other iters - 1 copies
+    _fl_body = None
+    try:
+        _body = raft_mod._IterBody()
+        _bp = {"params": rv["params"]["update_block"]}
+        _h8, _w8 = H // 8, W // 8
+
+        def _sd(shape, dt):
+            return jax.ShapeDtypeStruct(shape, dt)
+
+        _pyr, _hh, _ww = [], _h8, _w8
+        for _ in range(raft.corr_levels):
+            _pyr.append(_sd((fb, _h8, _w8, _hh, _ww), jnp.bfloat16))
+            _hh, _ww = max(_hh // 2, 1), max(_ww // 2, 1)
+        _carry = (
+            _sd((fb, _h8, _w8, raft.hidden_dim), jnp.bfloat16),
+            _sd((fb, _h8, _w8, 2), jnp.float32),
+            _sd((fb, _h8, _w8, 2), jnp.float32),
+            _sd((fb, _h8, _w8, raft.context_dim), jnp.bfloat16),
+            tuple(_pyr),
+        )
+        _fl_body = _program_tflops(
+            jax.jit(lambda p, c: _body.apply(p, c, None)), _bp, _carry
+        )
+    except Exception:
+        pass
+    if _fl is not None and _fl_body is not None:
+        _fl = _fl + (raft.iters - 1) * _fl_body
     _mfu(detail, "raft_flow",
          None if _fl is None else _fl * -(-len(pairs) // fb),
          detail["raft_flow_s"])
@@ -566,17 +602,20 @@ def main():
     detail["pose_opt_total_s"] = round(t_pose, 4)
     detail["fine_tune_total_s"] = round(t_train, 4)
     detail["depth_refresh_total_s"] = round(t_refresh, 4)
-    # solver MFU from the LM-chunk programs (upper bound: converged chunks
-    # skip remaining outers at runtime; f32 solve caps at ~0.5 bf16 peak)
-    _mfu(detail, "pose_opt",
-         lm_mod.COST_TRACKER.get("flops", 0.0) / 1e12, t_pose)
+    # solver MFU: recorded chunk executions, lowered only NOW (outside every
+    # timed region). LOWER bound: the CG while body is counted once per
+    # outer (see the accounting note at V5E_PEAK); f32 solve additionally
+    # caps at ~0.5 bf16 peak.
+    _mfu(detail, "pose_opt", lm_mod.flush_cost_tracker() / 1e12, t_pose)
+    detail["pose_opt_mfu_note"] = "lower bound: CG loop body counted once/outer"
     lm_mod.COST_TRACKER = None
-    # train MFU: whole-epoch scanned program + the trailing partial batch
-    _fl_ep = _program_tflops(
-        epoch_fn, p, bs, ostate, warm_blocks, clip, ps, mv["params"]
+    # train MFU: the loop-free per-step program is exact; the epoch scan's
+    # body is that same step, so epoch = step x S_full (+ trailing batch)
+    _fl_step = _program_tflops(
+        step, p, bs, ostate, warm_blocks[0], clip, ps, mv["params"]
     )
     _fl_tail = 0.0
-    if S_full * bsz < P_train and _fl_ep is not None:
+    if S_full * bsz < P_train and _fl_step is not None:
         _t = _program_tflops(
             step, p, bs, ostate,
             jnp.asarray(np.arange(S_full * bsz, P_train, dtype=np.int32)),
@@ -584,7 +623,8 @@ def main():
         )
         _fl_tail = _t or 0.0
     _mfu(detail, "fine_tune",
-         None if _fl_ep is None else (_fl_ep + _fl_tail) * NUM_EPOCHS,
+         None if _fl_step is None
+         else (_fl_step * S_full + _fl_tail) * NUM_EPOCHS,
          t_train)
 
     # ---- quality gates ------------------------------------------------------

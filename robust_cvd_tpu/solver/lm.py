@@ -38,37 +38,51 @@ import jax
 import jax.numpy as jnp
 
 
-# Optional FLOP accounting for bench MFU reporting: set to a dict (e.g.
-# {"flops": 0.0}) and every executed _lm_outer_chunk adds its compiled
-# program's HLO flop count. Program counts are an upper bound — converged
-# chunks skip remaining outer iterations via lax.cond at runtime, which the
-# static HLO cost analysis cannot see. None (default) = zero overhead.
+# Optional FLOP accounting for bench MFU reporting: set to a dict and every
+# executed _lm_outer_chunk RECORDS its arguments (references only — no
+# lowering, no compile, zero timed-path overhead; an eager version measured
+# +1.2 s on the benched pose stage when one lowering leaked into the timed
+# loop). Call flush_cost_tracker() AFTER timing to run the cost analyses.
+# None (default) = zero overhead.
 COST_TRACKER: dict | None = None
 _COST_CACHE: dict = {}
 
 
-def _chunk_flops(fns, cfg, params, lam, mask, aux) -> float:
-    key = (
-        fns, cfg,
-        tuple(
-            (tuple(x.shape), str(x.dtype))
-            for x in jax.tree.leaves((params, lam, mask, aux))
-        ),
-    )
-    if key not in _COST_CACHE:
-        try:
-            cost = (
-                _lm_outer_chunk.lower(*fns[:3], cfg, params, lam, mask, aux,
-                                      diag_fn=fns[3])
-                .compile()
-                .cost_analysis()
-            )
-            if isinstance(cost, (list, tuple)):
-                cost = cost[0]
-            _COST_CACHE[key] = float(cost.get("flops", 0.0))
-        except Exception:  # cost analysis is best-effort, never fail a solve
-            _COST_CACHE[key] = 0.0
-    return _COST_CACHE[key]
+def flush_cost_tracker() -> float:
+    """Sum HLO flop counts for every chunk execution recorded since the
+    tracker was set. Two caveats the consumer must carry: (a) XLA's
+    cost_analysis counts while/fori loop BODIES ONCE — the outer fori is
+    recovered exactly by multiplying with the static cfg.chunk trip count,
+    but the inner CG while-loop stays counted once per outer, so the result
+    is a LOWER BOUND with the CG cap (16-42x) as the dominant undercount;
+    (b) converged chunks skip remaining outers at runtime via lax.cond."""
+    if COST_TRACKER is None:
+        return 0.0
+    total = 0.0
+    for fns, cfg, params, lam, mask, aux in COST_TRACKER.get("pending", []):
+        key = (
+            fns, cfg,
+            tuple(
+                (tuple(x.shape), str(x.dtype))
+                for x in jax.tree.leaves((params, lam, mask, aux))
+            ),
+        )
+        if key not in _COST_CACHE:
+            try:
+                cost = (
+                    _lm_outer_chunk.lower(*fns[:3], cfg, params, lam, mask,
+                                          aux, diag_fn=fns[3])
+                    .compile()
+                    .cost_analysis()
+                )
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                _COST_CACHE[key] = float(cost.get("flops", 0.0)) * cfg.chunk
+            except Exception:  # best-effort, never fail the report
+                _COST_CACHE[key] = 0.0
+        total += _COST_CACHE[key]
+    COST_TRACKER["pending"] = []
+    return total
 
 
 class LMConfig(NamedTuple):
@@ -375,10 +389,10 @@ def solve(
             params, lam, mask, aux, diag_fn,
         )
         if COST_TRACKER is not None:
-            COST_TRACKER["flops"] = COST_TRACKER.get("flops", 0.0) + _chunk_flops(
+            COST_TRACKER.setdefault("pending", []).append((
                 (weighted_residual_fn, robust_residual_fn, project_fn, diag_fn),
                 cfg, params, lam, mask, aux,
-            )
+            ))
         it = (c + 1) * cfg.chunk
         if bool(done):
             break

@@ -13,11 +13,25 @@ _CONFIGURED = False
 
 
 def configure(cache_dir: str | None = None) -> None:
-    """Idempotent global JAX setup: persistent compile cache."""
+    """Idempotent global JAX setup: persistent compile cache.
+
+    CPU backends NEVER get the persistent cache on this host: XLA:CPU's AOT
+    loader rejects the recorded machine features (+prefer-no-gather /
+    +prefer-no-scatter mismatch, logged as cpu_aot_loader.cc errors warning
+    of SIGILL) and deserialization segfaulted a full test-suite run inside
+    compilation_cache.get_executable_and_time (round-5 pytest log). The TPU
+    path compiles remotely through a different cache and keeps it."""
     global _CONFIGURED
     if _CONFIGURED:
         return
     import jax
+
+    platforms = str(
+        os.environ.get("JAX_PLATFORMS", "") or jax.config.jax_platforms or ""
+    )
+    if "cpu" in platforms:
+        _CONFIGURED = True
+        return
 
     cache_dir = cache_dir or os.environ.get(
         "ROBUST_CVD_JAX_CACHE", os.path.expanduser("~/.cache/robust_cvd_jax")

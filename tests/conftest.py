@@ -40,12 +40,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the suite compiles hundreds of XLA CPU
-# programs; caching them makes reruns much faster and shrinks the
-# in-process compile exposure that triggered the round-4 crash.
-_cache_dir = os.environ.get(
-    "ROBUST_CVD_TEST_CACHE", os.path.expanduser("~/.cache/robust_cvd_tpu_tests")
-)
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compilation cache for the CPU suite. A cache was tried as
+# the round-4 crash mitigation and made things WORSE: XLA:CPU's AOT loader
+# rejects the recorded machine features on this host (cpu_aot_loader.cc
+# "+prefer-no-gather ... could lead to SIGILL") and cache DESERIALIZATION
+# segfaulted the round-5 run inside compilation_cache.
+# get_executable_and_time — at the same heavy test that crashed round 4's
+# run inside backend_compile. parallel/runtime.configure() is also gated
+# off on CPU for the same reason; the repeatedly-crashing heavy quality
+# test runs in an isolated subprocess (tests/test_quality.py).
+jax.config.update("jax_compilation_cache_dir", None)

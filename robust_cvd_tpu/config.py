@@ -161,6 +161,12 @@ class FineTuneParams:
     """Test-time fine-tuning (defaults: reference depth_fine_tuning.py:52-117)."""
 
     optimizer: str = "Adam"
+    # Keep Adam's first moment in bf16 (optax mu_dtype): measured -0.7 ms
+    # of the 7.7 ms in-program update (tools/profile_adam.py round 5).
+    # Default off — the reference trains with f32 torch Adam and no quality
+    # gate covers fine-tune dynamics tightly enough to flip a numerics
+    # default for a ~1 s/clip win.
+    optimizer_mu_bf16: bool = False
     val_epoch_freq: int = -1
     learning_rate: float = 0.0  # <= 0: use the model adapter's default
     batch_size: int = 2

@@ -486,7 +486,12 @@ class FineTuner:
         lr = cfg.ft.learning_rate if cfg.ft.learning_rate > 0 else adapter.learning_rate
         # optimizer registry (reference optimizer/__init__.py: {Adam, RAdam})
         makers = {"adam": optax.adam, "radam": optax.radam}
-        self.optimizer = makers[cfg.ft.optimizer.lower()](lr)
+        kw = (
+            {"mu_dtype": jnp.bfloat16}
+            if cfg.ft.optimizer_mu_bf16 and cfg.ft.optimizer.lower() == "adam"
+            else {}
+        )
+        self.optimizer = makers[cfg.ft.optimizer.lower()](lr, **kw)
         self.use_temporal = (
             cfg.loss.lambda_smooth_disparity > 0
             or cfg.loss.lambda_smooth_reprojection > 0

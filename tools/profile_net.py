@@ -59,9 +59,14 @@ f, g = fwd_bwd_fn(net, v)
 timeit("full net fwd", f, v["params"], x)
 t_full = timeit("full net fwd+bwd", g, v["params"], x)
 
-# backbone truncations (cumulative): stem+L1, +L2, +L3, +L4
+# backbone truncations (cumulative): stem+L1, +L2, +L3, +L4.
+# ROUND-5 FIX: pass the PRODUCTION merge16/8/4/2 lowerings — the round-4
+# run used this class's default ("grouped",)*4, which made stage-1 look
+# like a 16.6 ms wall when the production merge16 stage-1 is ~5.7 ms
+# (tools/profile_stem.py).
+PROD_IMPL = ("merge16", "merge8", "merge4", "merge2")
 for k, layers in enumerate([(3, 0, 0, 0), (3, 4, 0, 0), (3, 4, 23, 0), (3, 4, 23, 3)]):
-    bb = ResNeXt101Features(layers=layers)
+    bb = ResNeXt101Features(layers=layers, groups_impl=PROD_IMPL)
     vb = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
     fb, gb = fwd_bwd_fn(bb, vb)
     timeit(f"backbone thru stage {k + 1} {layers} fwd", fb, vb["params"], x)

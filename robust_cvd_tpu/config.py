@@ -93,15 +93,16 @@ class PoseOptParams:
     # LM solver knobs (new; no reference equivalent — Ceres internals).
     lm_lambda_init: float = 1e-3
     lm_max_outer: int = 50
-    # CG cap 42 with the exact-diag preconditioner (was plain cg64):
-    # round-4 TPU wall-clock on the real 100-frame cold solve
-    # (tools/precond_wallclock.py, PERF.md round-4 preconditioner section):
-    # plain cg64 5.82 s -> exact cg42 4.40 s (-24%) at exact scale
-    # recovery; quality at 2/3 caps with the exact diag matches plain at
-    # full caps on the golden-scene gap harness (tools/cap_sweep.py,
-    # round 3: exact-cg8 0.939 ~= plain-cg12 0.935, equal caps
-    # equal-or-better).
-    lm_cg_iters: int = 42
+    # CG cap 16 with the pose-block-Jacobi preconditioner (round 5; was
+    # exact-diag cg42 in round 4, plain cg64 before). TPU wall-clock on the
+    # real 100-frame cold solve (tools/precond_wallclock.py
+    # PRECOND_BLOCKS sweep): exact cg42 4.27 s -> block cg16 **2.69 s**
+    # (-37%) at equal scale recovery (err 2e-5); golden-scene quality
+    # harness (tools/cap_sweep.py): block-Jacobi holds the full-cap
+    # quality plateau 0.9736 down to cg8 where plain/exact degrade
+    # (cg12: 0.9587, cg8: 0.9538). History: plain cg64 5.82 -> exact
+    # cg42 4.40 (r4) -> block cg16 2.69 (r5).
+    lm_cg_iters: int = 16
     lm_rtol: float = 1e-6
     # Jacobi-preconditioned CG: Hutchinson probes per outer iteration for
     # the diag(J^T J) estimate; 0 = plain CG (the exact diagonal below
@@ -118,9 +119,12 @@ class PoseOptParams:
     # exact per-frame 6x6 pose blocks of J^T J and solve them per CG apply
     # (residuals.build_diag_fn(pose_blocks=True) + lm.py). Measured on the
     # real pose problem: 22-37 CG iterations vs 62 for the plain diagonal
-    # (163 unpreconditioned). Default decided by TPU wall-clock
-    # (tools/precond_wallclock.py, round-5 PERF.md section).
-    lm_precond_pose_blocks: bool = False
+    # (163 unpreconditioned). Default ON since round 5: at equal caps the
+    # block apply overhead loses (block cg42 4.89 s vs exact cg42 4.27),
+    # but the blocks hold full solution quality at cg16 (see lm_cg_iters
+    # above) where they win by 37%. Cold solves only — warm re-solves
+    # force preconditioning off (lm_precond_exact note).
+    lm_precond_pose_blocks: bool = True
     # Warm-start epoch re-solves from the previous solution at final grid
     # resolution instead of reset + normalize + full coarse-to-fine (the
     # reference resets every epoch; equivalence validated on the synthetic

@@ -42,6 +42,15 @@ configs = [
     ("exact cg12", dict(lm_cg_iters=12, lm_precond_exact=True)),
     ("exact cg8 ", dict(lm_cg_iters=8, lm_precond_exact=True)),
     ("exact cg6 ", dict(lm_cg_iters=6, lm_precond_exact=True)),
+    # round-5 block-Jacobi candidates (pose 6x6 frame blocks)
+    ("block cg24", dict(lm_cg_iters=24, lm_precond_exact=True,
+                        lm_precond_pose_blocks=True)),
+    ("block cg16", dict(lm_cg_iters=16, lm_precond_exact=True,
+                        lm_precond_pose_blocks=True)),
+    ("block cg12", dict(lm_cg_iters=12, lm_precond_exact=True,
+                        lm_precond_pose_blocks=True)),
+    ("block cg8 ", dict(lm_cg_iters=8, lm_precond_exact=True,
+                        lm_precond_pose_blocks=True)),
 ]
 for label, kw in configs:
     gap, opt = run_gate(kw)

@@ -281,9 +281,13 @@ class MidasNet(nn.Module):
     # stages 44.7 ms; merging groups to exactly the 128-wide MXU contraction
     # on EVERY stage (merge16/8/4/2 for the 8/16/32/64-wide stages) wins at
     # 36.9 ms — full systolic-array width at the minimum redundancy that
-    # reaches it. 256-wide merges regress (37.7) and im2col loses outright
-    # (100.6 ms, HBM-bound patch materialization).
-    groups_impl: Sequence[str] = ("merge16", "merge8", "merge4", "merge2")
+    # reaches it. im2col loses outright (100.6 ms, HBM-bound patch
+    # materialization). ROUND-5 revision (tools/profile_net2.py, B=2 with
+    # non-constant cotangents): STAGE 1 flips to block_dense — full-net
+    # fwd+bwd 23.69 (merge16) -> 22.61 ms; isolated layer1 agrees
+    # (4.74 -> 3.93). block_dense on every stage still regresses (36.4),
+    # as does grouped stage 1 (37.5).
+    groups_impl: Sequence[str] = ("block_dense", "merge8", "merge4", "merge2")
 
     @nn.compact
     def __call__(self, x, train: bool = False):

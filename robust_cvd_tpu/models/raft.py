@@ -370,8 +370,12 @@ class RAFT(nn.Module):
         img2 = 2.0 * (image2 / 255.0) - 1.0
 
         fnet = BasicEncoder(256, "instance", dtype=self.dtype, name="fnet")
-        fmap1 = fnet(img1, train)
-        fmap2 = fnet(img2, train)
+        # both images through ONE fnet call (reference raft.py:90:
+        # fnet([image1, image2])): instance norm is per-sample, so this is
+        # numerically identical to two calls and doubles the batch the
+        # conv tiles see
+        fmaps = fnet(jnp.concatenate([img1, img2], axis=0), train)
+        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
         pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
 
         cnet = BasicEncoder(
